@@ -1,0 +1,169 @@
+"""Configuration pytrees and per-dataset presets.
+
+The reference configures itself through three literal ``options`` dicts edited
+in source (reference main.py:20-44 KITTI, :50-74 Malaga, :80-104 Parking) plus
+hard-coded intrinsics in the loader (reference utils.py:22-24,:34-36,:43-45).
+Here every knob is a frozen dataclass field; crucially, all *capacities*
+(max keypoints, max candidates, RANSAC iteration counts, pyramid levels) are
+static compile-time constants — they fix the shapes of the slotted state so the
+whole per-frame step compiles to a single XLA executable.
+
+Pose convention used throughout this framework (unlike the reference's mixed
+one, see SURVEY.md Q2): ``T_CW`` is the extrinsics (world -> camera, the thing
+you project with); ``T_WC = inv(T_CW)`` is the camera pose whose translation is
+the camera center in world coordinates.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LandmarkConfig:
+    """Triangulation gates (reference main.py:22-25 et al.)."""
+
+    min_dist: float = 1.0  # 'min_dist_landmarks'
+    max_dist: float = 150.0  # 'max_dist_landmarks'
+    min_baseline_angle_deg: float = 2.0  # 'min_baseline_angle'
+    min_baseline_frames: int = 2  # 'min_baseline_frames'
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Shi-Tomasi / Harris corner detector (reference main.py:28-33).
+
+    ``max_corners`` doubles as the static top-K of the TPU grid-NMS kernel.
+    """
+
+    max_corners: int = 1400
+    quality_level: float = 0.1
+    min_dist: float = 10.0
+    block_size: int = 3
+    use_harris: bool = False
+    harris_k: float = 0.04
+
+
+@dataclasses.dataclass(frozen=True)
+class KLTConfig:
+    """Pyramidal Lucas-Kanade tracker (reference main.py:36-38).
+
+    The reference uses OpenCV's EPS|COUNT stopping rule (50 iters, eps
+    0.01/0.02); on TPU we run a fixed ``num_iters`` with a masked convergence
+    flag (data-dependent early exit would break static compilation).
+    """
+
+    window: int = 15  # 'winSize' (square)
+    max_level: int = 4  # 'maxLevel' (pyramid levels above base; capped by image size)
+    num_iters: int = 20
+    eps: float = 0.01
+    min_eig_threshold: float = 1e-4
+    max_residual: float = 20.0  # tracks with mean abs photometric error above this fail
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    """P3P + RANSAC pose solver (reference main.py:41-43)."""
+
+    iterations: int = 500  # 'PnP_iterations' -> static hypothesis-bank size
+    reproj_err_px: float = 8.0  # 'PnP_error'
+    confidence: float = 0.99  # 'PnP_conf' (informational; budget is static)
+    refine_iters: int = 5  # Gauss-Newton refinement on inliers (ref: cv2 internal)
+    min_points: int = 8  # reference VisualOdometryPipeLine.py:342 guard
+
+
+@dataclasses.dataclass(frozen=True)
+class EssentialConfig:
+    """Essential-matrix RANSAC for bootstrap (reference VisualOdometryPipeLine.py:308)."""
+
+    iterations: int = 1000  # static hypothesis bank (cv2 adapts on prob=0.99)
+    threshold_px: float = 1.0
+    confidence: float = 0.99
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """DoG SIFT detector + descriptor (reference cv2.SIFT_create(), VisualOdometryPipeLine.py:35)."""
+
+    max_features: int = 2048  # static top-K
+    num_octaves: int = 4
+    scales_per_octave: int = 3
+    contrast_threshold: float = 0.04
+    edge_threshold: float = 10.0
+    sigma: float = 1.6
+    ratio: float = 0.8  # Lowe ratio test, 'feature_ratio' (main.py:28)
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static table sizes for the slotted state (SURVEY.md §7).
+
+    The reference grows tables with ``np.append`` and boolean compaction;
+    on TPU all tables are fixed capacity + validity mask.
+    """
+
+    max_landmarks: int = 2048  # matched_* tables
+    max_candidates: int = 2048  # potential_* tables
+    pose_window: int = 32  # ring buffer of recent T_CW poses (BA window)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    landmarks: LandmarkConfig = LandmarkConfig()
+    detector: DetectorConfig = DetectorConfig()
+    klt: KLTConfig = KLTConfig()
+    pnp: PnPConfig = PnPConfig()
+    essential: EssentialConfig = EssentialConfig()
+    sift: SiftConfig = SiftConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    image_shape: Tuple[int, int] = (376, 1241)  # (H, W), static per dataset
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Per-dataset presets, mirroring the reference's three options dicts.
+# ---------------------------------------------------------------------------
+
+def kitti_config() -> PipelineConfig:
+    """KITTI seq 05 preset (reference main.py:16-44; image size 1241x376)."""
+    return PipelineConfig(
+        landmarks=LandmarkConfig(min_dist=1.0, max_dist=150.0,
+                                 min_baseline_angle_deg=2.0, min_baseline_frames=2),
+        detector=DetectorConfig(max_corners=1400, quality_level=0.1, min_dist=10.0),
+        klt=KLTConfig(window=15, max_level=4, num_iters=20, eps=0.01),
+        pnp=PnPConfig(iterations=500, reproj_err_px=8.0),
+        image_shape=(376, 1241),
+    )
+
+
+def malaga_config() -> PipelineConfig:
+    """Malaga extract-07 preset (reference main.py:46-74; 800x600 rectified)."""
+    return PipelineConfig(
+        landmarks=LandmarkConfig(min_dist=0.0, max_dist=100.0,
+                                 min_baseline_angle_deg=2.0, min_baseline_frames=2),
+        detector=DetectorConfig(max_corners=1400, quality_level=0.03, min_dist=10.0),
+        klt=KLTConfig(window=15, max_level=5, num_iters=20, eps=0.01),
+        pnp=PnPConfig(iterations=500, reproj_err_px=5.0),
+        image_shape=(600, 800),
+    )
+
+
+def parking_config() -> PipelineConfig:
+    """Parking preset (reference main.py:76-104; 640x480 images)."""
+    return PipelineConfig(
+        landmarks=LandmarkConfig(min_dist=1.0, max_dist=50.0,
+                                 min_baseline_angle_deg=2.0, min_baseline_frames=2),
+        detector=DetectorConfig(max_corners=1400, quality_level=0.1, min_dist=10.0),
+        klt=KLTConfig(window=15, max_level=5, num_iters=20, eps=0.02),
+        pnp=PnPConfig(iterations=500, reproj_err_px=5.0),
+        image_shape=(480, 640),
+    )
+
+
+PRESETS = {
+    "kitti": kitti_config,
+    "malaga": malaga_config,
+    "parking": parking_config,
+}
