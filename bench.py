@@ -1,0 +1,113 @@
+"""Headline benchmark: VO frames/sec on one TPU chip vs the reference CPU
+pipeline on identical frames.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is measured
+here directly: the reference ``VisualOdometryPipeLine`` (imported from
+/root/reference, executed unmodified on CPU with OpenCV) and this framework's
+compiled step run the same synthetic Parking-sized sequence, and the headline
+metric is our frames/s with ``vs_baseline`` = ours / reference
+(target >= 10x, BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def render_scene(num_frames: int, image_shape):
+    from monocular_visual_odometry_va4mr_tpu.dataio import synthetic
+
+    scene = synthetic.make_corridor_scene(
+        seed=11, num_frames=num_frames, num_points=6000,
+        image_shape=image_shape, step=0.35,
+    )
+    frames = [synthetic.render_frame(scene, i) for i in range(num_frames)]
+    return scene, frames
+
+
+def bench_ours(scene, frames, timed_start: int = 10):
+    import jax
+
+    from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
+    from monocular_visual_odometry_va4mr_tpu.core.config import parking_config
+    from monocular_visual_odometry_va4mr_tpu.pipeline import VisualOdometry
+
+    cfg = parking_config().replace(image_shape=scene.image_shape)
+    vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
+    key = jax.random.PRNGKey(0)
+
+    state = vo.bootstrap(frames[0], frames[2], jax.random.fold_in(key, 0))
+    jax.block_until_ready(state.T_CW)
+    # Warmup: compile the step once.
+    for i in range(3, timed_start):
+        state = vo.step(state, frames[i], jax.random.fold_in(key, i))
+    jax.block_until_ready(state.T_CW)
+
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(timed_start, len(frames)):
+        state = vo.step(state, frames[i], jax.random.fold_in(key, i))
+        n += 1
+    jax.block_until_ready(state.T_CW)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_reference(scene, frames, max_frames: int = 40):
+    """Run the unmodified reference pipeline on CPU over the same frames."""
+    sys.path.insert(0, "/root/reference")
+    import cv2
+    from VisualOdometryPipeLine import VisualOdometryPipeLine  # noqa
+
+    options = {  # reference main.py:80-104 (Parking preset)
+        "min_dist_landmarks": 1, "max_dist_landmarks": 50,
+        "min_baseline_angle": 2, "min_baseline_frames": 2,
+        "feature_ratio": 0.8, "feature_max_corners": 1400,
+        "feature_quality_level": 0.1, "feature_min_dist": 10,
+        "feature_block_size": 3, "feature_use_harris": False,
+        "winSize": (15, 15), "maxLevel": 10,
+        "criteria": (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 50, 0.02),
+        "PnP_conf": 0.99, "PnP_error": 5, "PnP_iterations": 500,
+    }
+    u8 = [np.clip(f, 0, 255).astype(np.uint8) for f in frames[:max_frames]]
+    vo = VisualOdometryPipeLine(scene.K, options)
+    t0 = time.perf_counter()
+    vo.initialization(u8[0], u8[2])
+    n = 0
+    for i in range(3, len(u8)):
+        try:
+            vo.continuous_operation(u8[i])
+        except ValueError:
+            break
+        n += 1
+    dt = time.perf_counter() - t0
+    return n / dt if n else float("nan")
+
+
+def main():
+    num_frames = 80
+    scene, frames = render_scene(num_frames, (480, 640))
+
+    ours_fps = bench_ours(scene, frames)
+    ref_fps = bench_reference(scene, frames)
+
+    vs = ours_fps / ref_fps if ref_fps == ref_fps else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "vo_frames_per_sec_per_chip",
+                "value": round(ours_fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Host-side sequence driver.
+
+The TPU analog of the reference's main loop (reference main.py:163-202): feeds
+frames to the compiled ``step``, collects poses/metrics on the host.  The
+device never waits on matplotlib — observability is a metrics log consumed by
+``viz/dashboard.py`` offline (SURVEY.md §5 "Metrics / logging").
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..core.state import STATUS_TRACKING, FrameState
+from .vo import VisualOdometry
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    frame: int
+    T_WC: np.ndarray  # (4,4) camera pose in world (translation = position)
+    n_inliers: int
+    n_tracked: int
+    status: int
+    wall_ms: float
+
+
+@dataclasses.dataclass
+class RunResult:
+    records: List[FrameRecord]
+
+    @property
+    def positions(self) -> np.ndarray:
+        return np.stack([r.T_WC[:3, 3] for r in self.records])
+
+    @property
+    def frames_per_sec(self) -> float:
+        ms = [r.wall_ms for r in self.records[1:]]  # skip bootstrap
+        return 1000.0 / (np.mean(ms) + 1e-9) if ms else 0.0
+
+    def num_lost(self) -> int:
+        return sum(1 for r in self.records if r.status != STATUS_TRACKING)
+
+
+def _record(frame: int, state: FrameState, wall_ms: float) -> FrameRecord:
+    T_CW = np.asarray(state.T_CW)
+    T_WC = np.eye(4)
+    T_WC[:3, :3] = T_CW[:3, :3].T
+    T_WC[:3, 3] = -T_CW[:3, :3].T @ T_CW[:3, 3]
+    return FrameRecord(
+        frame=frame,
+        T_WC=T_WC,
+        n_inliers=int(state.n_inliers),
+        n_tracked=int(state.n_tracked),
+        status=int(state.status),
+        wall_ms=wall_ms,
+    )
+
+
+def run_sequence(
+    vo: VisualOdometry,
+    frames: Iterable[Tuple[int, np.ndarray]],
+    *,
+    seed: int = 0,
+    bootstrap_stride: int = 2,
+    verbose: bool = False,
+) -> RunResult:
+    """Run the full pipeline over an (index, image) iterable.
+
+    The first frame and the frame ``bootstrap_stride`` later form the
+    bootstrap pair (reference bootstrap_frames [0, 2]/[0, 6], main.py:18,:48,
+    :78); frames in between are skipped, mirroring the reference.
+    """
+    key = jax.random.PRNGKey(seed)
+    it: Iterator = iter(frames)
+    records: List[FrameRecord] = []
+
+    idx0, img0 = next(it)
+    img1 = None
+    idx1 = idx0
+    for _ in range(bootstrap_stride):
+        idx1, img1 = next(it)
+
+    t0 = time.perf_counter()
+    state = vo.bootstrap(img0, img1, jax.random.fold_in(key, 0))
+    jax.block_until_ready(state.T_CW)
+    records.append(_record(idx1, state, (time.perf_counter() - t0) * 1000))
+
+    for idx, img in it:
+        t0 = time.perf_counter()
+        state = vo.step(state, img, jax.random.fold_in(key, idx))
+        jax.block_until_ready(state.T_CW)
+        wall = (time.perf_counter() - t0) * 1000
+        records.append(_record(idx, state, wall))
+        if verbose:
+            r = records[-1]
+            print(
+                f"frame {idx}: inliers={r.n_inliers} tracked={r.n_tracked} "
+                f"status={r.status} {wall:.1f}ms"
+            )
+    return RunResult(records)

@@ -1,0 +1,267 @@
+"""The VO state machine: bootstrap + per-frame step as compiled functions.
+
+This is the TPU re-design of the reference's ``VisualOdometryPipeLine`` class
+(reference VisualOdometryPipeLine.py:293-323 ``initialization`` and :326-373
+``continuous_operation``).  The per-frame step is ONE jit-compiled function
+``step(state, image, key) -> state`` over the fixed-shape ``FrameState``
+(vo_project_statement.pdf §4 Eq. 1 Markov contract), so it can sit inside
+``lax.scan`` for whole-sequence processing and inside ``pjit`` for
+sequence-level data parallelism.
+
+Stage order inside a step mirrors reference CS3:
+  KLT track -> PnP-RANSAC pose -> inlier culling -> candidate triangulation /
+  promotion -> new-corner replenishment -> bookkeeping.
+Failure is carried as ``state.status = LOST`` (reference raises ValueError,
+:342,:352,:358 — fail-stop; see SURVEY.md §5 "failure detection").
+
+Bootstrap differences from the reference, by design:
+  * v1 uses Shi-Tomasi + KLT between the two bootstrap frames (allowed by the
+    project statement §3.2) instead of SIFT+BFMatcher; the SIFT path
+    (ops/sift.py) plugs in behind the same interface for full parity.
+  * The recovered unit-norm translation is used through one consistent pose
+    convention (T_CW extrinsics) instead of the reference's mixed one
+    (Quirk Q2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import Camera
+from ..core.config import PipelineConfig
+from ..core.slots import alloc_slots, scatter_rows
+from ..core.state import STATUS_LOST, STATUS_TRACKING, FrameState, init_state
+from ..ops import corners, essential, image as imops, klt, pnp, triangulate
+
+
+def _num_klt_levels(config: PipelineConfig) -> int:
+    """Pyramid depth: reference maxLevel+1, capped so the coarsest level still
+    contains the tracking window."""
+    H, W = config.image_shape
+    levels = config.klt.max_level + 1
+    cap = 1
+    size = min(H, W)
+    while size // 2 >= 2 * config.klt.window and cap < levels:
+        size //= 2
+        cap += 1
+    return cap
+
+
+class VisualOdometry:
+    """Factory closing over (camera, config); exposes jitted pure functions.
+
+    Host-side driver code (pipeline/runner.py) owns the Python loop; nothing
+    here allocates per-frame Python state.
+    """
+
+    def __init__(self, cam: Camera, config: PipelineConfig):
+        self.cam = cam
+        self.config = config
+        self.num_levels = _num_klt_levels(config)
+        self._bootstrap = jax.jit(self._bootstrap_impl)
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    def make_pyramid(self, image: jnp.ndarray):
+        return imops.build_pyramid(image, self.num_levels)
+
+    # ------------------------------------------------------------------
+    def _detect(self, image: jnp.ndarray):
+        det = self.config.detector
+        return corners.detect_corners(
+            image,
+            max_corners=det.max_corners,
+            quality_level=det.quality_level,
+            cell=int(det.min_dist),
+            block_size=det.block_size,
+            use_harris=det.use_harris,
+            harris_k=det.harris_k,
+        )
+
+    def _track(self, prev_pyr, next_pyr, pts, valid):
+        cfg = self.config.klt
+        return klt.track_features(
+            prev_pyr, next_pyr, pts, valid,
+            window=cfg.window,
+            num_iters=cfg.num_iters,
+            eps=cfg.eps,
+            min_eig_threshold=cfg.min_eig_threshold,
+            max_residual=cfg.max_residual,
+        )
+
+    # ------------------------------------------------------------------
+    def _bootstrap_impl(self, img0: jnp.ndarray, img1: jnp.ndarray,
+                        key: jax.Array) -> FrameState:
+        """Two-frame initialization (reference ``initialization``, :293-323)."""
+        cfg = self.config
+        cap = cfg.capacity
+        pyr0 = self.make_pyramid(img0)
+        pyr1 = self.make_pyramid(img1)
+
+        # Detect up to max_candidates corners on frame 0 and KLT them to
+        # frame 1 (stands in for SIFT detect+match, reference :306).
+        uv0_det, _, det_valid = self._detect(img0)
+        M = cap.max_candidates
+        uv0 = jnp.zeros((M, 2), jnp.float32).at[: uv0_det.shape[0]].set(uv0_det)
+        valid = jnp.zeros((M,), bool).at[: det_valid.shape[0]].set(det_valid)
+        uv1, tracked, _ = self._track(pyr0, pyr1, uv0, valid)
+        pair_valid = valid & tracked
+
+        # Essential-matrix RANSAC + pose (reference :308-317).
+        E, inliers, ess_ok = essential.find_essential_ransac(
+            key, self.cam, uv0, uv1, pair_valid,
+            iterations=cfg.essential.iterations,
+            threshold_px=cfg.essential.threshold_px,
+        )
+        R, t, _ = essential.recover_pose(E, self.cam, uv0, uv1, inliers)
+        T_CW = lie.rt_to_matrix(R, t)  # world frame == camera-0 frame, |t| = 1
+
+        # Triangulate the inlier tracks that have enough baseline
+        # (reference :319; age gate skipped at bootstrap — Quirk Q4).
+        T0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (M, 4, 4))
+        X, promote, keep = triangulate.triangulate_candidates(
+            self.cam, uv0, uv1, T0, T_CW, inliers,
+            jnp.ones((M,), jnp.int32),
+            min_baseline_frames=cfg.landmarks.min_baseline_frames,
+            min_baseline_angle_deg=cfg.landmarks.min_baseline_angle_deg,
+            min_dist=cfg.landmarks.min_dist,
+            max_dist=cfg.landmarks.max_dist,
+            enforce_age=False,
+        )
+
+        # Landmarks table <- promoted candidates.
+        K = cap.max_landmarks
+        lm_slots, lm_acc = alloc_slots(jnp.zeros((K,), bool), promote)
+        lm_xyz = scatter_rows(jnp.zeros((K, 3), jnp.float32), lm_slots, X)
+        lm_uv = scatter_rows(jnp.zeros((K, 2), jnp.float32), lm_slots, uv1)
+        lm_valid = jnp.zeros((K,), bool).at[lm_slots].set(lm_acc, mode="drop")
+
+        state = init_state(cfg, pyr1)
+        return state.replace(
+            frame_idx=jnp.asarray(1, jnp.int32),
+            T_CW=T_CW,
+            lm_xyz=lm_xyz,
+            lm_uv=lm_uv,
+            lm_valid=lm_valid,
+            lm_inlier=lm_valid,
+            cand_uv=uv1,
+            cand_first_uv=uv0,
+            cand_T_CW_first=T0,
+            cand_first_frame=jnp.zeros((M,), jnp.int32),
+            cand_valid=keep,
+            prev_pyramid=pyr1,
+            status=jnp.where(ess_ok, STATUS_TRACKING, STATUS_LOST).astype(jnp.int32),
+            n_inliers=jnp.sum(inliers).astype(jnp.int32),
+            n_tracked=jnp.sum(pair_valid).astype(jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, state: FrameState, image: jnp.ndarray,
+                   key: jax.Array) -> FrameState:
+        """One frame of continuous operation (reference :326-373)."""
+        cfg = self.config
+        cap = cfg.capacity
+        K, M = cap.max_landmarks, cap.max_candidates
+        pyr = self.make_pyramid(image)
+
+        # (1) KLT both tables in ONE batched call (reference runs cv2 twice,
+        # :281 and :287).
+        all_pts = jnp.concatenate([state.lm_uv, state.cand_uv], axis=0)
+        all_valid = jnp.concatenate([state.lm_valid, state.cand_valid], axis=0)
+        new_pts, tracked, _ = self._track(state.prev_pyramid, pyr, all_pts,
+                                          all_valid)
+        lm_uv = new_pts[:K]
+        lm_valid = tracked[:K]
+        cand_uv = new_pts[K:]
+        cand_valid = tracked[K:]
+
+        # (2) PnP-RANSAC pose (reference :343); LOST instead of raise.
+        key_pnp, key_rest = jax.random.split(key)
+        T_CW, pnp_inliers, pnp_ok = pnp.solve_pnp_ransac(
+            key_pnp, self.cam, state.lm_xyz, lm_uv, lm_valid,
+            iterations=cfg.pnp.iterations,
+            reproj_threshold_px=cfg.pnp.reproj_err_px,
+            refine_iters=cfg.pnp.refine_iters,
+            min_points=cfg.pnp.min_points,
+        )
+        T_CW = jnp.where(pnp_ok, T_CW, state.T_CW)  # hold pose on failure
+        # Landmark culling to PnP inliers (reference :346-350).
+        lm_valid_kept = jnp.where(pnp_ok, lm_valid & pnp_inliers, lm_valid)
+
+        # (3) Candidate triangulation + promotion (reference :366-367).
+        age = state.frame_idx + 1 - state.cand_first_frame
+        X, promote, keep = triangulate.triangulate_candidates(
+            self.cam, state.cand_first_uv, cand_uv, state.cand_T_CW_first,
+            T_CW, cand_valid, age,
+            min_baseline_frames=cfg.landmarks.min_baseline_frames,
+            min_baseline_angle_deg=cfg.landmarks.min_baseline_angle_deg,
+            min_dist=cfg.landmarks.min_dist,
+            max_dist=cfg.landmarks.max_dist,
+        )
+        lm_slots, lm_acc = alloc_slots(lm_valid_kept, promote)
+        lm_xyz = scatter_rows(state.lm_xyz, lm_slots, X)
+        lm_uv = scatter_rows(lm_uv, lm_slots, cand_uv)
+        lm_valid_new = lm_valid_kept.at[lm_slots].set(lm_acc, mode="drop")
+        cand_valid = keep
+
+        # (4) Corner replenishment with min-dist dedup (reference :369 and
+        # :256-259 — the O(new x existing) Python list comp becomes one
+        # masked distance matrix on the MXU).
+        det_uv, _, det_valid = self._detect(image)
+        d2_cand = jnp.sum(
+            (det_uv[:, None, :] - cand_uv[None, :, :]) ** 2, axis=-1
+        )
+        d2_lm = jnp.sum((det_uv[:, None, :] - lm_uv[None, :, :]) ** 2, axis=-1)
+        min_d = cfg.detector.min_dist
+        far_from_cand = jnp.all(
+            jnp.where(cand_valid[None, :], d2_cand, jnp.inf) > min_d**2, axis=1
+        )
+        far_from_lm = jnp.all(
+            jnp.where(lm_valid_new[None, :], d2_lm, jnp.inf) > min_d**2, axis=1
+        )
+        new_mask = det_valid & far_from_cand & far_from_lm
+        c_slots, c_acc = alloc_slots(cand_valid, new_mask)
+        cand_uv = scatter_rows(cand_uv, c_slots, det_uv)
+        cand_first_uv = scatter_rows(state.cand_first_uv, c_slots, det_uv)
+        cand_T_CW_first = scatter_rows(
+            state.cand_T_CW_first, c_slots,
+            jnp.broadcast_to(T_CW, (det_uv.shape[0], 4, 4)),
+        )
+        cand_first_frame = scatter_rows(
+            state.cand_first_frame, c_slots,
+            jnp.full((det_uv.shape[0],), state.frame_idx + 1, jnp.int32),
+        )
+        cand_valid = cand_valid.at[c_slots].set(c_acc, mode="drop")
+
+        n_inl = jnp.sum(pnp_inliers & lm_valid).astype(jnp.int32)
+        status = jnp.where(pnp_ok, STATUS_TRACKING, STATUS_LOST).astype(jnp.int32)
+
+        return state.replace(
+            frame_idx=state.frame_idx + 1,
+            T_CW=T_CW,
+            lm_xyz=lm_xyz,
+            lm_uv=lm_uv,
+            lm_valid=lm_valid_new,
+            lm_inlier=pnp_inliers & lm_valid,
+            cand_uv=cand_uv,
+            cand_first_uv=cand_first_uv,
+            cand_T_CW_first=cand_T_CW_first,
+            cand_first_frame=cand_first_frame,
+            cand_valid=cand_valid,
+            prev_pyramid=pyr,
+            status=status,
+            n_inliers=n_inl,
+            n_tracked=jnp.sum(tracked[:K]).astype(jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def bootstrap(self, img0, img1, key) -> FrameState:
+        return self._bootstrap(jnp.asarray(img0, jnp.float32),
+                               jnp.asarray(img1, jnp.float32), key)
+
+    def step(self, state: FrameState, image, key) -> FrameState:
+        return self._step(state, jnp.asarray(image, jnp.float32), key)

@@ -1,0 +1,108 @@
+"""End-to-end pipeline integration tests on synthetic scenes (SURVEY.md §4
+item 3)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
+from monocular_visual_odometry_va4mr_tpu.core.config import (
+    CapacityConfig,
+    DetectorConfig,
+    EssentialConfig,
+    KLTConfig,
+    LandmarkConfig,
+    PipelineConfig,
+    PnPConfig,
+)
+from monocular_visual_odometry_va4mr_tpu.core.state import STATUS_TRACKING
+from monocular_visual_odometry_va4mr_tpu.dataio import synthetic
+from monocular_visual_odometry_va4mr_tpu.evalx import ate_rmse
+from monocular_visual_odometry_va4mr_tpu.pipeline import (
+    VisualOdometry,
+    run_sequence,
+)
+
+
+def small_config(image_shape=(240, 320)) -> PipelineConfig:
+    """Shrunk capacities so CPU tests compile fast."""
+    return PipelineConfig(
+        landmarks=LandmarkConfig(min_dist=0.5, max_dist=120.0,
+                                 min_baseline_angle_deg=1.0,
+                                 min_baseline_frames=2),
+        detector=DetectorConfig(max_corners=512, quality_level=0.05,
+                                min_dist=8.0),
+        klt=KLTConfig(window=11, max_level=3, num_iters=15, eps=0.01),
+        pnp=PnPConfig(iterations=200, reproj_err_px=4.0),
+        essential=EssentialConfig(iterations=300, threshold_px=1.0),
+        capacity=CapacityConfig(max_landmarks=512, max_candidates=512),
+        image_shape=image_shape,
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_corridor_scene(
+        seed=3, num_frames=20, num_points=2500, image_shape=(240, 320),
+        step=0.4,
+    )
+
+
+class TestEvalx:
+    def test_umeyama_recovers_transform(self, rng):
+        src = rng.normal(size=(50, 3))
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.random(random_state=1).as_matrix()
+        s, t = 2.5, np.array([1.0, -2.0, 3.0])
+        dst = s * src @ R.T + t
+        assert ate_rmse(src, dst) < 1e-6
+
+    def test_ate_nonzero_for_mismatch(self, rng):
+        src = rng.normal(size=(50, 3))
+        dst = src + rng.normal(scale=0.1, size=(50, 3))
+        assert 0.02 < ate_rmse(src, dst) < 0.3
+
+
+class TestSynthetic:
+    def test_render_has_texture(self, scene):
+        img = synthetic.render_frame(scene, 0)
+        assert img.shape == scene.image_shape
+        assert img.max() > 100
+        assert (img > 30).mean() > 0.005  # enough blobs
+
+    def test_blobs_move_with_camera(self, scene):
+        i0 = synthetic.render_frame(scene, 0)
+        i1 = synthetic.render_frame(scene, 5)
+        assert np.abs(i0 - i1).mean() > 1.0
+
+
+class TestPipeline:
+    @pytest.fixture(scope="class")
+    def result(self, scene):
+        cfg = small_config(scene.image_shape)
+        cam = Camera.from_matrix(scene.K)
+        vo = VisualOdometry(cam, cfg)
+        frames = synthetic.render_sequence(scene)
+        return scene, run_sequence(vo, frames, bootstrap_stride=2)
+
+    def test_tracks_whole_sequence(self, result):
+        scene, res = result
+        assert len(res.records) == scene.num_frames - 2
+        lost = res.num_lost()
+        assert lost == 0, f"{lost} LOST frames"
+        for r in res.records:
+            assert r.n_inliers >= 8
+
+    def test_trajectory_matches_ground_truth(self, result):
+        scene, res = result
+        est = res.positions
+        gt = np.stack([scene.poses_WC[r.frame][:3, 3] for r in res.records])
+        ate = ate_rmse(est, gt)
+        # Path is ~7 m long; locally consistent VO should stay well under
+        # 2% of it after Sim(3) alignment.
+        assert ate < 0.15, f"ATE {ate:.3f} m"
+
+    def test_landmark_tables_stay_fresh(self, result):
+        scene, res = result
+        # Landmarks must be replenished (promotion works) over the run.
+        assert res.records[-1].n_tracked > 50
