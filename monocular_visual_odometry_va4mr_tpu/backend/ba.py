@@ -42,25 +42,7 @@ class BAWindow(NamedTuple):
     obs_mask: jnp.ndarray  # (W, L) bool
 
 
-def _inv3(M: jnp.ndarray) -> jnp.ndarray:
-    """Batched closed-form 3x3 inverse (adjugate / det)."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    adj = jnp.stack(
-        [
-            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
-            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
-            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
-        ],
-        -2,
-    )
-    return adj / det[..., None, None]
+from ..core.linalg import inv3 as _inv3  # closed-form batched 3x3 inverse
 
 
 def _residuals_and_jacobians(window: BAWindow, cam: Camera,

@@ -59,6 +59,10 @@ class KLTConfig:
     eps: float = 0.01
     min_eig_threshold: float = 1e-4
     max_residual: float = 20.0  # tracks with mean abs photometric error above this fail
+    # "pallas": dense coarse-flow prior + single-level Pallas LK (TPU hot path,
+    # ops/klt_pallas.py); "xla": multi-level gather tracker (ops/klt.py,
+    # portable oracle); "auto": pallas on TPU, xla elsewhere.
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,8 +106,8 @@ class CapacityConfig:
     on TPU all tables are fixed capacity + validity mask.
     """
 
-    max_landmarks: int = 2048  # matched_* tables
-    max_candidates: int = 2048  # potential_* tables
+    max_landmarks: int = 1024  # matched_* tables
+    max_candidates: int = 1024  # potential_* tables
     pose_window: int = 32  # ring buffer of recent T_CW poses (BA window)
 
 

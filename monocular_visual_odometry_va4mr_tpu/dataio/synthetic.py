@@ -25,6 +25,12 @@ class SyntheticScene:
     intensities: np.ndarray  # (P,) blob brightness
     poses_WC: np.ndarray  # (F, 4, 4) ground-truth camera-to-world poses
     image_shape: tuple  # (H, W)
+    # Per-point band-limited texture (random sinusoid mixture): makes every
+    # beacon visually unique so descriptor matching (SIFT ratio test) works,
+    # not just KLT.  freqs (P,C,2) rad/px, phases (P,C), amps (P,C).
+    tex_freqs: np.ndarray = None
+    tex_phases: np.ndarray = None
+    tex_amps: np.ndarray = None
 
     @property
     def num_frames(self):
@@ -43,7 +49,7 @@ def make_corridor_scene(
     num_frames: int = 60,
     num_points: int = 4000,
     image_shape=(480, 640),
-    step: float = 0.35,
+    step: float = 1.0,
     turn_rate_deg: float = 0.35,
 ) -> SyntheticScene:
     """Camera driving forward (+z) through a point corridor with a gentle turn
@@ -56,13 +62,23 @@ def make_corridor_scene(
     )
 
     # Points in a corridor along z, sides + ground + sparse mid-air clutter.
+    # Walls close enough that bootstrap-baseline parallax clears the 2-degree
+    # triangulation gate the reference uses (main.py:24).
     length = num_frames * step + 60.0
     z = rng.uniform(0.0, length, num_points)
     side = rng.choice([-1.0, 1.0], num_points)
-    x = side * rng.uniform(2.5, 9.0, num_points)
+    x = side * rng.uniform(1.5, 8.0, num_points)
     y = rng.uniform(-2.5, 2.0, num_points)
     points = np.stack([x, y, z], axis=1)
     intensities = rng.uniform(90.0, 255.0, num_points)
+
+    # Unique band-limited texture per point.
+    C = 6
+    ang = rng.uniform(0, np.pi, (num_points, C))
+    mag = rng.uniform(0.4, 1.9, (num_points, C))  # rad/px, below Nyquist
+    tex_freqs = np.stack([mag * np.cos(ang), mag * np.sin(ang)], axis=-1)
+    tex_phases = rng.uniform(0, 2 * np.pi, (num_points, C))
+    tex_amps = rng.uniform(0.3, 1.0, (num_points, C))
 
     # Ground-truth trajectory: forward with a slow yaw drift.
     poses = np.zeros((num_frames, 4, 4))
@@ -79,7 +95,8 @@ def make_corridor_scene(
         pos = pos + step * fwd
         yaw += np.radians(turn_rate_deg)
 
-    return SyntheticScene(K, points, intensities, poses, image_shape)
+    return SyntheticScene(K, points, intensities, poses, image_shape,
+                          tex_freqs, tex_phases, tex_amps)
 
 
 def render_frame(scene: SyntheticScene, frame: int, sigma: float = 1.1,
@@ -106,9 +123,24 @@ def render_frame(scene: SyntheticScene, frame: int, sigma: float = 1.1,
     du = (u[vis] - np.round(u[vis]))[:, None, None]
     dv = (v[vis] - np.round(v[vis]))[:, None, None]
     amp = scene.intensities[vis][:, None, None]
-    stamps = amp * np.exp(
-        -((gx[None] - du) ** 2 + (gy[None] - dv) ** 2) / (2.0 * sigma**2)
-    )
+    # Gaussian envelope exactly tracking the subpixel center.
+    env = np.exp(-((gx[None] - du) ** 2 + (gy[None] - dv) ** 2)
+                 / (2.0 * sigma**2))
+    if scene.tex_freqs is not None:
+        # Texture sampled in the point's own (stamp-relative) frame so it is
+        # identical (up to subpixel shift) in every frame -> matchable.
+        fx = scene.tex_freqs[vis][:, :, 0][:, :, None, None]
+        fy = scene.tex_freqs[vis][:, :, 1][:, :, None, None]
+        ph = scene.tex_phases[vis][:, :, None, None]
+        am = scene.tex_amps[vis][:, :, None, None]
+        xloc = (gx[None] - du)[:, None]
+        yloc = (gy[None] - dv)[:, None]
+        wave = np.sum(am * np.cos(fx * xloc + fy * yloc + ph), axis=1)
+        wave = wave / (np.sum(scene.tex_amps[vis], axis=1)[:, None, None] + 1e-9)
+        pattern = 0.55 + 0.45 * wave  # in [0.1, 1.0]
+    else:
+        pattern = 1.0
+    stamps = amp * env * pattern
     # Accumulate stamps (np.add.at handles overlapping blobs).
     win = 2 * radius + 1
     rows = iv[:, None, None] + gy[None].astype(np.int64)

@@ -1,1 +1,1 @@
-from . import image, corners, klt  # noqa: F401
+from . import corners, image, klt, klt_pallas  # noqa: F401

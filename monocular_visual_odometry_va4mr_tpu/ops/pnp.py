@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core import lie
+from ..core import lie, linalg
 from ..core.camera import Camera
 from . import polysolve, ransac
 
@@ -112,7 +112,7 @@ def _p3p_grunert(X: jnp.ndarray, rays: jnp.ndarray):
                 jnp.stack([s1n - s2n * cos_gamma, s2n - s1n * cos_gamma, z]),
             ])
             J = J + 1e-9 * jnp.eye(3, dtype=J.dtype)
-            step = jnp.linalg.solve(J, f)
+            step = linalg.solve3(J, f)
             s_new = s - step
             return jnp.where(jnp.all(jnp.isfinite(s_new)), s_new, s), None
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import linalg
 from ..core.camera import Camera, projection_matrix
 
 
@@ -45,12 +46,16 @@ def triangulate_dlt(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
     # Row-normalize for conditioning (cv2 does an equivalent scaling).
     norm = jnp.linalg.norm(rows, axis=-1, keepdims=True)
     rows = rows / jnp.maximum(norm, 1e-12)
-    AtA = jnp.swapaxes(rows, -1, -2) @ rows
-    _, vecs = jnp.linalg.eigh(AtA)
-    X_h = vecs[..., :, 0]  # eigenvector of the smallest eigenvalue
-    w = X_h[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X_h[..., :3] / w[..., None]
+    # Inhomogeneous solve (w = 1): 3x3 normal equations in closed form.
+    # Batched tiny eigh/SVD lowers to scalar loops on TPU; the adjugate
+    # inverse fuses into the surrounding elementwise code.  Differs from the
+    # homogeneous DLT only for points at infinity, which the depth gate
+    # rejects anyway.
+    M = rows[..., :3]  # (..., 4, 3)
+    a = rows[..., 3]  # (..., 4)
+    N = jnp.swapaxes(M, -1, -2) @ M  # (..., 3, 3)
+    b = -jnp.einsum("...ki,...k->...i", M, a)
+    return linalg.solve3(N, b)
 
 
 def bearing_angle_deg(

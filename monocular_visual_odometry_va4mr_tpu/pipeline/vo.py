@@ -35,7 +35,7 @@ from ..core.camera import Camera
 from ..core.config import PipelineConfig
 from ..core.slots import alloc_slots, scatter_rows
 from ..core.state import STATUS_LOST, STATUS_TRACKING, FrameState, init_state
-from ..ops import corners, essential, image as imops, klt, pnp, triangulate
+from ..ops import corners, essential, image as imops, klt, klt_pallas, pnp, triangulate
 
 
 def _num_klt_levels(config: PipelineConfig) -> int:
@@ -61,7 +61,12 @@ class VisualOdometry:
     def __init__(self, cam: Camera, config: PipelineConfig):
         self.cam = cam
         self.config = config
-        self.num_levels = _num_klt_levels(config)
+        self.num_levels = max(_num_klt_levels(config),
+                              min(klt_pallas.COARSE_LEVEL + 1, 6))
+        backend = config.klt.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.klt_backend = backend
         self._bootstrap = jax.jit(self._bootstrap_impl)
         self._step = jax.jit(self._step_impl)
 
@@ -84,6 +89,14 @@ class VisualOdometry:
 
     def _track(self, prev_pyr, next_pyr, pts, valid):
         cfg = self.config.klt
+        if self.klt_backend == "pallas":
+            return klt_pallas.track_features_pallas(
+                prev_pyr, next_pyr, pts, valid,
+                num_iters=min(cfg.num_iters, 12),
+                eps=cfg.eps,
+                min_eig_threshold=cfg.min_eig_threshold,
+                max_residual=cfg.max_residual,
+            )
         return klt.track_features(
             prev_pyr, next_pyr, pts, valid,
             window=cfg.window,
@@ -106,8 +119,9 @@ class VisualOdometry:
         # frame 1 (stands in for SIFT detect+match, reference :306).
         uv0_det, _, det_valid = self._detect(img0)
         M = cap.max_candidates
-        uv0 = jnp.zeros((M, 2), jnp.float32).at[: uv0_det.shape[0]].set(uv0_det)
-        valid = jnp.zeros((M,), bool).at[: det_valid.shape[0]].set(det_valid)
+        n = min(uv0_det.shape[0], M)
+        uv0 = jnp.zeros((M, 2), jnp.float32).at[:n].set(uv0_det[:n])
+        valid = jnp.zeros((M,), bool).at[:n].set(det_valid[:n])
         uv1, tracked, _ = self._track(pyr0, pyr1, uv0, valid)
         pair_valid = valid & tracked
 

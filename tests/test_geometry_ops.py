@@ -94,8 +94,8 @@ class TestTriangulate:
                 jnp.asarray(uv1),
             )
         )
-        np.testing.assert_allclose(X_ours, X_cv, atol=1e-2)
-        np.testing.assert_allclose(X_ours, X, atol=1e-2)
+        np.testing.assert_allclose(X_ours, X_cv, atol=1e-2, rtol=1e-3)
+        np.testing.assert_allclose(X_ours, X, atol=1e-2, rtol=1e-3)
 
     def test_bearing_angle(self):
         cam = Camera.from_matrix(K)
