@@ -121,6 +121,10 @@ class PipelineConfig:
     sift: SiftConfig = SiftConfig()
     capacity: CapacityConfig = CapacityConfig()
     image_shape: Tuple[int, int] = (376, 1241)  # (H, W), static per dataset
+    # "sift": SIFT detect + ratio-test matching between the bootstrap frames
+    # (reference initial_feature_matching, VisualOdometryPipeLine.py:209-245);
+    # "klt": Shi-Tomasi + KLT tracking (statement §3.2 alternative; faster).
+    bootstrap_method: str = "sift"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

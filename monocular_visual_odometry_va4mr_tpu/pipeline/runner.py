@@ -3,13 +3,14 @@
 The TPU analog of the reference's main loop (reference main.py:163-202): feeds
 frames to the compiled ``step``, collects poses/metrics on the host.  The
 device never waits on matplotlib — observability is a metrics log consumed by
-``viz/dashboard.py`` offline (SURVEY.md §5 "Metrics / logging").
+``viz/dashboard.py`` offline (SURVEY.md §5 "Metrics / logging").  Optional
+checkpoint/resume every K frames (absent in the reference, SURVEY.md §5).
 """
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Iterable, Iterator, List, Optional, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -31,6 +32,7 @@ class FrameRecord:
 @dataclasses.dataclass
 class RunResult:
     records: List[FrameRecord]
+    final_snapshot: Optional[Dict] = None
 
     @property
     def positions(self) -> np.ndarray:
@@ -60,6 +62,20 @@ def _record(frame: int, state: FrameState, wall_ms: float) -> FrameRecord:
     )
 
 
+def _snapshot(state: FrameState, image: np.ndarray) -> Dict:
+    """Host-side pull of the viz-relevant state (reference exposes these as
+    public attributes: inlier_pts_current etc., VisualOdometryPipeLine.py:57-58)."""
+    lm_valid = np.asarray(state.lm_valid)
+    lm_inlier = np.asarray(state.lm_inlier)
+    lm_uv = np.asarray(state.lm_uv)
+    return {
+        "image": np.asarray(image),
+        "inlier_uv": lm_uv[lm_valid & lm_inlier],
+        "outlier_uv": lm_uv[lm_valid & ~lm_inlier],
+        "landmark_xyz": np.asarray(state.lm_xyz)[lm_valid],
+    }
+
+
 def run_sequence(
     vo: VisualOdometry,
     frames: Iterable[Tuple[int, np.ndarray]],
@@ -67,6 +83,9 @@ def run_sequence(
     seed: int = 0,
     bootstrap_stride: int = 2,
     verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
+    resume_from: Optional[str] = None,
 ) -> RunResult:
     """Run the full pipeline over an (index, image) iterable.
 
@@ -81,24 +100,45 @@ def run_sequence(
     idx0, img0 = next(it)
     img1 = None
     idx1 = idx0
+    intermediate = []
     for _ in range(bootstrap_stride):
         idx1, img1 = next(it)
+        intermediate.append(img1)
+    intermediate = intermediate[:-1]  # last one IS the bootstrap frame
 
     t0 = time.perf_counter()
-    state = vo.bootstrap(img0, img1, jax.random.fold_in(key, 0))
+    state = vo.bootstrap(img0, img1, jax.random.fold_in(key, 0),
+                         intermediate=intermediate)
     jax.block_until_ready(state.T_CW)
     records.append(_record(idx1, state, (time.perf_counter() - t0) * 1000))
 
+    resume_at = None
+    if resume_from is not None:
+        from . import checkpoint
+
+        state, resume_at = checkpoint.restore(resume_from, state)
+        if verbose:
+            print(f"resumed from {resume_from} at frame {resume_at}")
+
+    last_img = img1
     for idx, img in it:
+        if resume_at is not None and idx <= resume_at:
+            continue
         t0 = time.perf_counter()
         state = vo.step(state, img, jax.random.fold_in(key, idx))
         jax.block_until_ready(state.T_CW)
         wall = (time.perf_counter() - t0) * 1000
         records.append(_record(idx, state, wall))
+        last_img = img
         if verbose:
             r = records[-1]
             print(
                 f"frame {idx}: inliers={r.n_inliers} tracked={r.n_tracked} "
                 f"status={r.status} {wall:.1f}ms"
             )
-    return RunResult(records)
+        if checkpoint_dir and idx % checkpoint_every == 0:
+            from . import checkpoint
+
+            checkpoint.save(checkpoint_dir, state, idx)
+
+    return RunResult(records, final_snapshot=_snapshot(state, last_img))

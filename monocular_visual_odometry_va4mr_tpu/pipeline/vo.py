@@ -35,7 +35,8 @@ from ..core.camera import Camera
 from ..core.config import PipelineConfig
 from ..core.slots import alloc_slots, scatter_rows
 from ..core.state import STATUS_LOST, STATUS_TRACKING, FrameState, init_state
-from ..ops import corners, essential, image as imops, klt, klt_pallas, pnp, triangulate
+from ..ops import (corners, essential, image as imops, klt, klt_pallas, match,
+                   pnp, sift, triangulate)
 
 
 def _num_klt_levels(config: PipelineConfig) -> int:
@@ -107,23 +108,65 @@ class VisualOdometry:
         )
 
     # ------------------------------------------------------------------
-    def _bootstrap_impl(self, img0: jnp.ndarray, img1: jnp.ndarray,
-                        key: jax.Array) -> FrameState:
-        """Two-frame initialization (reference ``initialization``, :293-323)."""
+    def _bootstrap_impl(self, imgs, key: jax.Array) -> FrameState:
+        """Bootstrap from the frame span ``imgs = (img0, ..., img1)``
+        (reference ``initialization``, :293-323).
+
+        SIFT mode matches img0 <-> img1 directly (reference behavior); KLT
+        mode chain-tracks corners through the intermediate frames so the
+        per-hop flow stays inside the tracker's convergence basin even for
+        wide bootstrap baselines (reference main.py:78 uses [0, 6])."""
         cfg = self.config
         cap = cfg.capacity
+        img0 = imgs[0]
+        img1 = imgs[-1]
         pyr0 = self.make_pyramid(img0)
         pyr1 = self.make_pyramid(img1)
-
-        # Detect up to max_candidates corners on frame 0 and KLT them to
-        # frame 1 (stands in for SIFT detect+match, reference :306).
-        uv0_det, _, det_valid = self._detect(img0)
         M = cap.max_candidates
-        n = min(uv0_det.shape[0], M)
-        uv0 = jnp.zeros((M, 2), jnp.float32).at[:n].set(uv0_det[:n])
-        valid = jnp.zeros((M,), bool).at[:n].set(det_valid[:n])
-        uv1, tracked, _ = self._track(pyr0, pyr1, uv0, valid)
-        pair_valid = valid & tracked
+
+        if cfg.bootstrap_method == "sift":
+            # SIFT detect + ratio-test matching (reference
+            # initial_feature_matching, :209-245).
+            sc = cfg.sift
+            f0 = sift.detect_and_compute(
+                img0, max_features=M,
+                num_octaves=sc.num_octaves,
+                scales_per_octave=sc.scales_per_octave,
+                contrast_threshold=sc.contrast_threshold,
+                edge_threshold=sc.edge_threshold,
+                sigma=sc.sigma,
+            )
+            f1 = sift.detect_and_compute(
+                img1, max_features=M,
+                num_octaves=sc.num_octaves,
+                scales_per_octave=sc.scales_per_octave,
+                contrast_threshold=sc.contrast_threshold,
+                edge_threshold=sc.edge_threshold,
+                sigma=sc.sigma,
+            )
+            idx1, mok = match.match_ratio(
+                f0.desc, f0.valid, f1.desc, f1.valid, ratio=sc.ratio
+            )
+            uv0 = f0.uv
+            uv1 = f1.uv[idx1]
+            pair_valid = mok
+            valid = mok
+        else:
+            # Shi-Tomasi corners on frame 0, KLT chain-tracked to frame 1
+            # (statement §3.2 alternative bootstrap).
+            uv0_det, _, det_valid = self._detect(img0)
+            n = min(uv0_det.shape[0], M)
+            uv0 = jnp.zeros((M, 2), jnp.float32).at[:n].set(uv0_det[:n])
+            valid = jnp.zeros((M,), bool).at[:n].set(det_valid[:n])
+            uv1 = uv0
+            prev_pyr = pyr0
+            for hop_img in imgs[1:]:
+                hop_pyr = (pyr1 if hop_img is imgs[-1]
+                           else self.make_pyramid(hop_img))
+                uv1, tracked, _ = self._track(prev_pyr, hop_pyr, uv1, valid)
+                valid = valid & tracked
+                prev_pyr = hop_pyr
+            pair_valid = valid
 
         # Essential-matrix RANSAC + pose (reference :308-317).
         E, inliers, ess_ok = essential.find_essential_ransac(
@@ -273,9 +316,14 @@ class VisualOdometry:
         )
 
     # ------------------------------------------------------------------
-    def bootstrap(self, img0, img1, key) -> FrameState:
-        return self._bootstrap(jnp.asarray(img0, jnp.float32),
-                               jnp.asarray(img1, jnp.float32), key)
+    def bootstrap(self, img0, img1, key, intermediate=()) -> FrameState:
+        """Initialize from two bootstrap frames; ``intermediate`` optionally
+        carries the frames between them for KLT chain-tracking."""
+        imgs = tuple(
+            jnp.asarray(im, jnp.float32)
+            for im in (img0, *intermediate, img1)
+        )
+        return self._bootstrap(imgs, key)
 
     def step(self, state: FrameState, image, key) -> FrameState:
         return self._step(state, jnp.asarray(image, jnp.float32), key)

@@ -1,0 +1,140 @@
+"""Dataset loaders (reference utils.py format parity), checkpoint/resume, and
+the CLI driver end-to-end on a synthetic sequence."""
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from monocular_visual_odometry_va4mr_tpu.dataio import datasets
+
+
+def _write_png(path, H=48, W=64, seed=0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img = np.random.default_rng(seed).integers(0, 255, (H, W), np.uint8)
+    cv2.imwrite(path, img)
+
+
+class TestLoaders:
+    def test_kitti_format(self, tmp_path):
+        root = tmp_path / "kitti"
+        for i in range(5):
+            _write_png(str(root / "05" / "image_0" / f"{i:06d}.png"), seed=i)
+        poses = np.tile(np.eye(3, 4).reshape(-1), (5, 1))
+        poses[:, 3] = np.arange(5)  # x translation
+        os.makedirs(root / "poses", exist_ok=True)
+        np.savetxt(root / "poses" / "05.txt", poses)
+
+        spec = datasets.load_kitti(str(root))
+        assert spec.num_frames == 5
+        np.testing.assert_allclose(spec.K, datasets.KITTI_K)
+        assert spec.gt_poses.shape == (5, 3, 4)
+        # Reference GT columns [-9,-1] == our (x, z) pair (Quirk Q7).
+        np.testing.assert_allclose(spec.gt_xz[:, 0], np.arange(5))
+        img = spec.load_frame(2)
+        assert img.shape == (48, 64)
+
+    def test_kitti_frame_cap(self, tmp_path):
+        root = tmp_path / "kitti"
+        for i in range(6):
+            _write_png(str(root / "05" / "image_0" / f"{i:06d}.png"))
+        os.makedirs(root / "poses", exist_ok=True)
+        np.savetxt(root / "poses" / "05.txt",
+                   np.tile(np.eye(3, 4).reshape(-1), (6, 1)))
+        spec = datasets.load_kitti(str(root), last_frame=4)
+        assert spec.num_frames == 4
+
+    def test_malaga_every_second_file(self, tmp_path):
+        root = tmp_path / "malaga"
+        d = root / "malaga-urban-dataset-extract-07_rectified_800x600_Images"
+        # Interleaved left/right names; loader takes names[2::2].
+        for i in range(8):
+            side = "left" if i % 2 == 0 else "right"
+            _write_png(str(d / f"img_{i:03d}_{side}.png"), seed=i)
+        spec = datasets.load_malaga(str(root))
+        assert spec.num_frames == 3  # 8 files -> indices 2,4,6
+        assert spec.gt_poses is None
+        np.testing.assert_allclose(spec.K, datasets.MALAGA_K)
+
+    def test_parking_format(self, tmp_path):
+        root = tmp_path / "parking"
+        for i in range(4):
+            _write_png(str(root / "images" / f"img_{i:05d}.png"), seed=i)
+        np.savetxt(root / "poses.txt",
+                   np.tile(np.eye(3, 4).reshape(-1), (4, 1)))
+        spec = datasets.load_parking(str(root), last_frame=4)
+        assert spec.num_frames == 4
+        np.testing.assert_allclose(spec.K, datasets.PARKING_K)
+        frames = list(spec.frames())
+        assert len(frames) == 4
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from monocular_visual_odometry_va4mr_tpu.core.config import (
+            CapacityConfig, PipelineConfig,
+        )
+        from monocular_visual_odometry_va4mr_tpu.core.state import init_state
+        from monocular_visual_odometry_va4mr_tpu.pipeline import checkpoint
+
+        cfg = PipelineConfig(capacity=CapacityConfig(64, 64),
+                             image_shape=(32, 32))
+        pyr = (jnp.zeros((32, 32)), jnp.zeros((16, 16)))
+        state = init_state(cfg, pyr)
+        state = state.replace(
+            frame_idx=jnp.asarray(41, jnp.int32),
+            lm_xyz=state.lm_xyz.at[0].set(jnp.array([1.0, 2.0, 3.0])),
+            lm_valid=state.lm_valid.at[0].set(True),
+        )
+        checkpoint.save(str(tmp_path / "ck"), state, 41)
+        template = init_state(cfg, pyr)
+        restored, idx = checkpoint.restore(str(tmp_path / "ck"), template)
+        assert idx == 41
+        assert int(restored.frame_idx) == 41
+        np.testing.assert_allclose(
+            np.asarray(restored.lm_xyz[0]), [1.0, 2.0, 3.0]
+        )
+        assert bool(restored.lm_valid[0])
+
+
+class TestCLI:
+    def test_synthetic_end_to_end(self, tmp_path):
+        from monocular_visual_odometry_va4mr_tpu.run import main
+
+        plot = tmp_path / "dash.png"
+        metrics = tmp_path / "metrics.jsonl"
+        result = main([
+            "--dataset", "synthetic", "--max-frames", "15", "--quiet",
+            "--plot", str(plot), "--metrics-json", str(metrics),
+        ])
+        assert len(result.records) == 15 - 6
+        assert result.num_lost() == 0
+        assert plot.exists() and plot.stat().st_size > 10000
+        lines = [json.loads(l) for l in open(metrics)]
+        assert len(lines) == len(result.records)
+        assert all("n_inliers" in l for l in lines)
+
+    def test_checkpoint_resume(self, tmp_path):
+        from monocular_visual_odometry_va4mr_tpu.run import main
+
+        ck = tmp_path / "ck"
+        r1 = main([
+            "--dataset", "synthetic", "--max-frames", "15", "--quiet",
+            "--checkpoint-dir", str(ck), "--checkpoint-every", "10",
+        ])
+        r2 = main([
+            "--dataset", "synthetic", "--max-frames", "15", "--quiet",
+            "--resume", str(ck),
+        ])
+        # Resumed run processes only frames after the checkpoint (10).
+        resumed_frames = [r.frame for r in r2.records if r.frame > 10]
+        assert resumed_frames == [11, 12, 13, 14]
+        # Trajectory tail must agree with the uninterrupted run.
+        p1 = {r.frame: r.T_WC[:3, 3] for r in r1.records}
+        for r in r2.records:
+            if r.frame > 10:
+                np.testing.assert_allclose(r.T_WC[:3, 3], p1[r.frame],
+                                           atol=1e-5)

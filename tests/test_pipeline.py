@@ -36,6 +36,7 @@ def small_config(image_shape=(240, 320)) -> PipelineConfig:
         essential=EssentialConfig(iterations=300, threshold_px=1.0),
         capacity=CapacityConfig(max_landmarks=512, max_candidates=512),
         image_shape=image_shape,
+        bootstrap_method="klt",  # CPU-fast; the SIFT path has its own test
     )
 
 
@@ -106,3 +107,29 @@ class TestPipeline:
         scene, res = result
         # Landmarks must be replenished (promotion works) over the run.
         assert res.records[-1].n_tracked > 50
+
+
+class TestSiftBootstrap:
+    def test_sift_bootstrap_initializes(self, scene):
+        """Full-parity bootstrap: SIFT + ratio matching + E-RANSAC
+        (reference initialization, VisualOdometryPipeLine.py:293-323)."""
+        import jax
+
+        from monocular_visual_odometry_va4mr_tpu.core.state import (
+            STATUS_TRACKING,
+        )
+
+        cfg = small_config(scene.image_shape).replace(bootstrap_method="sift")
+        cam = Camera.from_matrix(scene.K)
+        vo = VisualOdometry(cam, cfg)
+        img0 = synthetic.render_frame(scene, 0)
+        img1 = synthetic.render_frame(scene, 2)
+        state = vo.bootstrap(img0, img1, jax.random.PRNGKey(0))
+        # Mechanics check: the blob scene is adversarial for any SIFT
+        # (cv2.SIFT also yields only 4-8 init landmarks here — inter-blob
+        # extrema are constellation-dependent); descriptor QUALITY on natural
+        # texture is asserted in test_sift.py.  Here we require the stage
+        # wiring to produce a tracking state with some triangulated points.
+        assert int(state.status) == STATUS_TRACKING
+        assert int(state.lm_valid.sum()) > 5
+        assert int(state.n_tracked) > 15
