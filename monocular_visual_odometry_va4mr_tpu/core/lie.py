@@ -54,23 +54,26 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix (3,3) -> axis-angle (3,) (inverse Rodrigues).
 
-    Numerically robust for angles near 0 and near pi.
+    Numerically robust for angles near 0 and near pi, and differentiable
+    (theta via arctan2 rather than arccos — arccos has an unbounded gradient
+    at the identity, which poisoned autodiff Jacobians in the pose-graph
+    back-end).
     """
-    trace = jnp.trace(R)
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Generic branch: vee of the antisymmetric part, scaled.
-    w_asym = vee(R - R.T) * 0.5
-    sin_theta = jnp.sin(theta)
-    scale = jnp.where(theta < 1e-4, 1.0 + theta * theta / 6.0, theta / jnp.maximum(sin_theta, _EPS))
+    w_asym = vee(R - R.T) * 0.5  # = sin(theta) * axis
+    # eps inside the sqrt keeps the norm's gradient finite at theta = 0.
+    s = jnp.sqrt(jnp.sum(w_asym * w_asym) + _EPS * _EPS)
+    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arctan2(s, c)  # bounded gradients everywhere but (0, 0)
+    # Generic branch: scale = theta / sin(theta), Taylor for small theta.
+    # Safe denominator so the untaken where-branch can't produce NaN grads.
+    s_safe = jnp.maximum(s, _EPS)
+    scale = jnp.where(theta < 1e-4, 1.0 + theta * theta / 6.0, theta / s_safe)
     w_generic = w_asym * scale
-    # Near-pi branch: use the diagonal of R + I.
-    # R = I + sin(t) W + (1-cos t) W^2; at t=pi, R + I = 2 (I + W^2) = 2 vv^T / |v|^2 ... use
-    # axis from largest diagonal element of (R + I).
+    # Near-pi branch (s -> 0, c -> -1): axis from the largest column of R + I.
     B = R + jnp.eye(3, dtype=R.dtype)
     k = jnp.argmax(jnp.diagonal(B))
-    axis = B[:, k] / jnp.maximum(jnp.linalg.norm(B[:, k]), _EPS)
-    # Fix sign so that it is consistent with the antisymmetric part.
+    col = B[:, k]
+    axis = col / jnp.maximum(jnp.linalg.norm(col), _EPS)
     sign = jnp.where(jnp.dot(axis, w_asym) < 0.0, -1.0, 1.0)
     w_pi = sign * axis * theta
     return jnp.where(theta > jnp.pi - 1e-3, w_pi, w_generic)
@@ -108,10 +111,11 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     W = hat(w)
     half_theta = 0.5 * theta
     # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin / (2 (1-cos))) W^2
+    theta2_safe = jnp.maximum(theta2, _EPS)
     cot_term = jnp.where(
-        theta2 > _EPS,
-        (1.0 - half_theta * jnp.cos(half_theta) / jnp.maximum(jnp.sin(half_theta), _EPS))
-        / jnp.maximum(theta2, _EPS),
+        theta2 > 1e-8,
+        (1.0 - half_theta * jnp.cos(half_theta)
+         / jnp.maximum(jnp.sin(half_theta), _EPS)) / theta2_safe,
         1.0 / 12.0 + theta2 / 720.0,
     )
     V_inv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + cot_term * (W @ W)

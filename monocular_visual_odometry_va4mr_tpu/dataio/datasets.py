@@ -81,7 +81,22 @@ class SequenceSpec:
     def load_frame(self, i: int) -> np.ndarray:
         return _imread_gray(self.frame_paths[i])
 
-    def frames(self, start: int = 0) -> Iterator[Tuple[int, np.ndarray]]:
+    def frames(self, start: int = 0,
+               prefetch: bool = True) -> Iterator[Tuple[int, np.ndarray]]:
+        """Ordered frame stream; uses the native C++ prefetching decoder
+        (dataio/native_io.py) when available and the files are PNGs."""
+        paths = self.frame_paths[start:self.num_frames]
+        if prefetch and all(p.endswith(".png") for p in paths):
+            from . import native_io
+
+            if native_io.available():
+                reader = native_io.PrefetchingReader(paths)
+                try:
+                    for i, img in reader:
+                        yield start + i, img
+                finally:
+                    reader.close()
+                return
         for i in range(start, self.num_frames):
             yield i, self.load_frame(i)
 

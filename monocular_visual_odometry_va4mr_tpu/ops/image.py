@@ -111,6 +111,21 @@ def build_pyramid(img: jnp.ndarray, num_levels: int):
     return tuple(levels)
 
 
+@functools.partial(jax.jit, static_argnames=("factor",))
+def build_flat_pyramid(img: jnp.ndarray, factor: int = 16):
+    """Two-level pyramid (full res, 1/factor box-averaged) — all the Pallas
+    tracker needs (full-res LK + coarse prior volume), at a fraction of the
+    Gaussian chain's cost."""
+    img = img.astype(jnp.float32)
+    H, W = img.shape
+    Hp = H - H % factor
+    Wp = W - W % factor
+    coarse = img[:Hp, :Wp].reshape(
+        Hp // factor, factor, Wp // factor, factor
+    ).mean(axis=(1, 3))
+    return (img, coarse)
+
+
 def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear interpolation of (H, W) image at (..., 2) pixel coords (x, y).
 

@@ -359,10 +359,14 @@ def track_features_pallas(
     i0 = prev_pyr[0]
     i1 = next_pyr[0]
     H, W = i0.shape
-    lvl = min(COARSE_LEVEL, len(prev_pyr) - 1)
-    scale = float(2 ** lvl)
+    # Coarse prior level: deepest available level at or above COARSE_LEVEL's
+    # reduction; scale inferred from shapes so 2-level (full, /16) pyramids
+    # from avg-pooling work the same as full Gaussian pyramids.
+    coarse_prev = prev_pyr[min(COARSE_LEVEL, len(prev_pyr) - 1)]
+    coarse_next = next_pyr[min(COARSE_LEVEL, len(next_pyr) - 1)]
+    scale = float(round(H / coarse_prev.shape[0]))
 
-    flow_c = coarse_flow_volume(prev_pyr[lvl], next_pyr[lvl])  # (h, w, 2)
+    flow_c = coarse_flow_volume(coarse_prev, coarse_next)  # (h, w, 2)
     pred = sample_map_onehot(flow_c, pts / scale) * scale  # (N, 2) full-res px
 
     q = pts + pred

@@ -68,11 +68,14 @@ class VisualOdometry:
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.klt_backend = backend
-        self._bootstrap = jax.jit(self._bootstrap_impl)
+        self._bootstrap_geom = jax.jit(self._bootstrap_geom_impl)
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
     def make_pyramid(self, image: jnp.ndarray):
+        if self.klt_backend == "pallas":
+            # The Pallas tracker needs only full res + a /16 coarse level.
+            return imops.build_flat_pyramid(image, 16)
         return imops.build_pyramid(image, self.num_levels)
 
     # ------------------------------------------------------------------
@@ -108,65 +111,18 @@ class VisualOdometry:
         )
 
     # ------------------------------------------------------------------
-    def _bootstrap_impl(self, imgs, key: jax.Array) -> FrameState:
-        """Bootstrap from the frame span ``imgs = (img0, ..., img1)``
-        (reference ``initialization``, :293-323).
+    def _bootstrap_geom_impl(self, uv0, uv1, pair_valid, pyr1,
+                             key: jax.Array) -> FrameState:
+        """Geometry half of the bootstrap: E-RANSAC -> pose -> triangulation
+        -> initial state (reference ``initialization``, :308-323).
 
-        SIFT mode matches img0 <-> img1 directly (reference behavior); KLT
-        mode chain-tracks corners through the intermediate frames so the
-        per-hop flow stays inside the tracker's convergence basin even for
-        wide bootstrap baselines (reference main.py:78 uses [0, 6])."""
+        The correspondence half (SIFT matching or KLT chain-tracking) runs as
+        separately-compiled pieces in :meth:`bootstrap` — one mega-graph with
+        several Pallas kernels inlined took >15 min to compile remotely.
+        """
         cfg = self.config
         cap = cfg.capacity
-        img0 = imgs[0]
-        img1 = imgs[-1]
-        pyr0 = self.make_pyramid(img0)
-        pyr1 = self.make_pyramid(img1)
         M = cap.max_candidates
-
-        if cfg.bootstrap_method == "sift":
-            # SIFT detect + ratio-test matching (reference
-            # initial_feature_matching, :209-245).
-            sc = cfg.sift
-            f0 = sift.detect_and_compute(
-                img0, max_features=M,
-                num_octaves=sc.num_octaves,
-                scales_per_octave=sc.scales_per_octave,
-                contrast_threshold=sc.contrast_threshold,
-                edge_threshold=sc.edge_threshold,
-                sigma=sc.sigma,
-            )
-            f1 = sift.detect_and_compute(
-                img1, max_features=M,
-                num_octaves=sc.num_octaves,
-                scales_per_octave=sc.scales_per_octave,
-                contrast_threshold=sc.contrast_threshold,
-                edge_threshold=sc.edge_threshold,
-                sigma=sc.sigma,
-            )
-            idx1, mok = match.match_ratio(
-                f0.desc, f0.valid, f1.desc, f1.valid, ratio=sc.ratio
-            )
-            uv0 = f0.uv
-            uv1 = f1.uv[idx1]
-            pair_valid = mok
-            valid = mok
-        else:
-            # Shi-Tomasi corners on frame 0, KLT chain-tracked to frame 1
-            # (statement §3.2 alternative bootstrap).
-            uv0_det, _, det_valid = self._detect(img0)
-            n = min(uv0_det.shape[0], M)
-            uv0 = jnp.zeros((M, 2), jnp.float32).at[:n].set(uv0_det[:n])
-            valid = jnp.zeros((M,), bool).at[:n].set(det_valid[:n])
-            uv1 = uv0
-            prev_pyr = pyr0
-            for hop_img in imgs[1:]:
-                hop_pyr = (pyr1 if hop_img is imgs[-1]
-                           else self.make_pyramid(hop_img))
-                uv1, tracked, _ = self._track(prev_pyr, hop_pyr, uv1, valid)
-                valid = valid & tracked
-                prev_pyr = hop_pyr
-            pair_valid = valid
 
         # Essential-matrix RANSAC + pose (reference :308-317).
         E, inliers, ess_ok = essential.find_essential_ransac(
@@ -317,13 +273,59 @@ class VisualOdometry:
 
     # ------------------------------------------------------------------
     def bootstrap(self, img0, img1, key, intermediate=()) -> FrameState:
-        """Initialize from two bootstrap frames; ``intermediate`` optionally
-        carries the frames between them for KLT chain-tracking."""
-        imgs = tuple(
-            jnp.asarray(im, jnp.float32)
-            for im in (img0, *intermediate, img1)
-        )
-        return self._bootstrap(imgs, key)
+        """Initialize from two bootstrap frames (reference ``initialization``,
+        :293-323); ``intermediate`` optionally carries the frames between
+        them for KLT chain-tracking (wide baselines, reference main.py:78).
+
+        Host-orchestrated: detection/matching/tracking and the geometry
+        stage are separate compiled functions so the per-hop tracker
+        compiles ONCE and is reused for every hop.
+        """
+        cfg = self.config
+        M = cfg.capacity.max_candidates
+        img0 = jnp.asarray(img0, jnp.float32)
+        img1 = jnp.asarray(img1, jnp.float32)
+        pyr0 = self.make_pyramid(img0)
+        pyr1 = self.make_pyramid(img1)
+
+        if cfg.bootstrap_method == "sift":
+            # SIFT detect + ratio-test matching (reference
+            # initial_feature_matching, :209-245).
+            sc = cfg.sift
+            kw = dict(
+                max_features=M,
+                num_octaves=sc.num_octaves,
+                scales_per_octave=sc.scales_per_octave,
+                contrast_threshold=sc.contrast_threshold,
+                edge_threshold=sc.edge_threshold,
+                sigma=sc.sigma,
+            )
+            f0 = sift.detect_and_compute(img0, **kw)
+            f1 = sift.detect_and_compute(img1, **kw)
+            idx1, mok = match.match_ratio(
+                f0.desc, f0.valid, f1.desc, f1.valid, ratio=sc.ratio
+            )
+            uv0 = f0.uv
+            uv1 = f1.uv[idx1]
+            pair_valid = mok
+        else:
+            # Shi-Tomasi corners on frame 0, KLT chain-tracked to frame 1
+            # (statement §3.2 alternative bootstrap).
+            uv0_det, _, det_valid = self._detect(img0)
+            n = min(int(uv0_det.shape[0]), M)
+            uv0 = jnp.zeros((M, 2), jnp.float32).at[:n].set(uv0_det[:n])
+            valid = jnp.zeros((M,), bool).at[:n].set(det_valid[:n])
+            uv1 = uv0
+            prev_pyr = pyr0
+            chain = [jnp.asarray(im, jnp.float32) for im in intermediate]
+            for k, hop_img in enumerate([*chain, None]):
+                hop_pyr = pyr1 if hop_img is None else self.make_pyramid(hop_img)
+                uv1, tracked, _ = self._track(prev_pyr, hop_pyr, uv1, valid)
+                valid = valid & tracked
+                prev_pyr = hop_pyr
+            pair_valid = valid
+
+        return self._bootstrap_geom(uv0, uv1, pair_valid, pyr1, key)
 
     def step(self, state: FrameState, image, key) -> FrameState:
         return self._step(state, jnp.asarray(image, jnp.float32), key)
