@@ -45,6 +45,8 @@ class FrameState:
     lm_uv: jnp.ndarray  # (K,2) current pixel coords
     lm_valid: jnp.ndarray  # (K,) bool
     lm_inlier: jnp.ndarray  # (K,) bool — last PnP-RANSAC inlier mask (viz/metrics)
+    lm_gen: jnp.ndarray  # (K,) int32 — slot generation; bumps on re-allocation
+    # so cross-frame consumers (windowed BA) can detect slot reuse
 
     # --- candidate tracks ("potential_*") ---
     cand_uv: jnp.ndarray  # (M,2) current pixel coords
@@ -74,6 +76,7 @@ def init_state(config: PipelineConfig, pyramid: Tuple[jnp.ndarray, ...]) -> Fram
         lm_uv=jnp.zeros((K, 2), jnp.float32),
         lm_valid=jnp.zeros((K,), bool),
         lm_inlier=jnp.zeros((K,), bool),
+        lm_gen=jnp.zeros((K,), jnp.int32),
         cand_uv=jnp.zeros((M, 2), jnp.float32),
         cand_first_uv=jnp.zeros((M, 2), jnp.float32),
         cand_T_CW_first=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (M, 1, 1)),

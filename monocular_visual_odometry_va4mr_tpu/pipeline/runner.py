@@ -86,6 +86,9 @@ def run_sequence(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 100,
     resume_from: Optional[str] = None,
+    ba_every: int = 0,
+    ba_window: int = 8,
+    ba_mesh=None,
 ) -> RunResult:
     """Run the full pipeline over an (index, image) iterable.
 
@@ -120,12 +123,24 @@ def run_sequence(
         if verbose:
             print(f"resumed from {resume_from} at frame {resume_at}")
 
+    ring = None
+    if ba_every:
+        from .ba_refine import BARing
+
+        ring = BARing(window=ba_window)
+
     last_img = img1
     for idx, img in it:
         if resume_at is not None and idx <= resume_at:
             continue
         t0 = time.perf_counter()
         state = vo.step(state, img, jax.random.fold_in(key, idx))
+        if ring is not None:
+            ring.push(state)
+            if idx % ba_every == 0:
+                from .ba_refine import refine
+
+                state = refine(state, ring, vo.cam, mesh=ba_mesh)
         jax.block_until_ready(state.T_CW)
         wall = (time.perf_counter() - t0) * 1000
         records.append(_record(idx, state, wall))

@@ -152,11 +152,15 @@ class VisualOdometry:
         lm_xyz = scatter_rows(jnp.zeros((K, 3), jnp.float32), lm_slots, X)
         lm_uv = scatter_rows(jnp.zeros((K, 2), jnp.float32), lm_slots, uv1)
         lm_valid = jnp.zeros((K,), bool).at[lm_slots].set(lm_acc, mode="drop")
+        lm_gen = jnp.zeros((K,), jnp.int32).at[lm_slots].add(
+            lm_acc.astype(jnp.int32), mode="drop"
+        )
 
         state = init_state(cfg, pyr1)
         return state.replace(
             frame_idx=jnp.asarray(1, jnp.int32),
             T_CW=T_CW,
+            lm_gen=lm_gen,
             lm_xyz=lm_xyz,
             lm_uv=lm_uv,
             lm_valid=lm_valid,
@@ -219,6 +223,11 @@ class VisualOdometry:
         lm_xyz = scatter_rows(state.lm_xyz, lm_slots, X)
         lm_uv = scatter_rows(lm_uv, lm_slots, cand_uv)
         lm_valid_new = lm_valid_kept.at[lm_slots].set(lm_acc, mode="drop")
+        # Bump generation on re-allocated slots so windowed BA can mask out
+        # observations that belong to a previous tenant of the slot.
+        lm_gen = state.lm_gen.at[lm_slots].add(
+            lm_acc.astype(jnp.int32), mode="drop"
+        )
         cand_valid = keep
 
         # (4) Corner replenishment with min-dist dedup (reference :369 and
@@ -260,6 +269,7 @@ class VisualOdometry:
             lm_uv=lm_uv,
             lm_valid=lm_valid_new,
             lm_inlier=pnp_inliers & lm_valid,
+            lm_gen=lm_gen,
             cand_uv=cand_uv,
             cand_first_uv=cand_first_uv,
             cand_T_CW_first=cand_T_CW_first,

@@ -38,6 +38,11 @@ def build_parser():
     p.add_argument("--checkpoint-every", type=int, default=100)
     p.add_argument("--resume", default=None,
                    help="checkpoint directory to resume from")
+    p.add_argument("--ba-every", type=int, default=0,
+                   help="run sliding-window bundle adjustment every N frames "
+                        "(0 = off; new capability vs the reference)")
+    p.add_argument("--ba-window", type=int, default=8,
+                   help="number of recent frames in the BA window")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -118,6 +123,8 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume,
+        ba_every=args.ba_every,
+        ba_window=args.ba_window,
     )
 
     est = result.positions

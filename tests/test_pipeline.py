@@ -133,3 +133,23 @@ class TestSiftBootstrap:
         assert int(state.status) == STATUS_TRACKING
         assert int(state.lm_valid.sum()) > 5
         assert int(state.n_tracked) > 15
+
+
+class TestBARefinement:
+    def test_ba_in_the_loop(self, scene):
+        """VO + sliding-window BA (--ba-every): stays healthy and at least
+        as accurate as plain VO on the same frames."""
+        cfg = small_config(scene.image_shape)
+        cam = Camera.from_matrix(scene.K)
+        vo = VisualOdometry(cam, cfg)
+
+        res_plain = run_sequence(vo, synthetic.render_sequence(scene),
+                                 bootstrap_stride=2)
+        res_ba = run_sequence(vo, synthetic.render_sequence(scene),
+                              bootstrap_stride=2, ba_every=4, ba_window=6)
+        assert res_ba.num_lost() == 0
+        gt = np.stack([scene.poses_WC[r.frame][:3, 3] for r in res_ba.records])
+        ate_ba = ate_rmse(res_ba.positions, gt)
+        ate_plain = ate_rmse(res_plain.positions, gt)
+        # BA must not hurt, and both stay locally consistent.
+        assert ate_ba < max(ate_plain * 1.5, 0.15), (ate_ba, ate_plain)
