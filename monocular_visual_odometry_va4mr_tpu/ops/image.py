@@ -51,16 +51,32 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> 
     return _conv_sep(img, k, k)
 
 
-def sobel_gradients(img: jnp.ndarray):
-    """Sobel x/y gradients with OpenCV's 3x3 kernels and 1/8 scale.
+def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Edge-replicated shift: out[y, x] = img[y+dy, x+dx] (clamped)."""
+    H, W = img.shape
+    if dy > 0:
+        img = jnp.concatenate([img[dy:], jnp.repeat(img[-1:], dy, 0)], 0)
+    elif dy < 0:
+        img = jnp.concatenate([jnp.repeat(img[:1], -dy, 0), img[:dy]], 0)
+    if dx > 0:
+        img = jnp.concatenate([img[:, dx:], jnp.repeat(img[:, -1:], dx, 1)], 1)
+    elif dx < 0:
+        img = jnp.concatenate([jnp.repeat(img[:, :1], -dx, 1), img[:, :dx]], 1)
+    return img
 
-    cv2.goodFeaturesToTrack internally uses Sobel with scale such that the
-    structure tensor matches; we test against cv2.Sobel / cornerMinEigenVal.
+
+def sobel_gradients(img: jnp.ndarray):
+    """Sobel x/y gradients with OpenCV's 3x3 kernels.
+
+    Implemented as shift-adds: XLA lowers single-channel convs on TPU very
+    poorly (measured ~10x slower than the fused elementwise chain).
     """
-    smooth = jnp.array([1.0, 2.0, 1.0], jnp.float32)
-    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
-    gx = _conv_sep(img, diff, smooth)
-    gy = _conv_sep(img, smooth, diff)
+    up, down = _shift(img, -1, 0), _shift(img, 1, 0)
+    sy = up + 2.0 * img + down  # vertical smooth
+    gx = _shift(sy, 0, 1) - _shift(sy, 0, -1)
+    left, right = _shift(img, 0, -1), _shift(img, 0, 1)
+    sx = left + 2.0 * img + right
+    gy = _shift(sx, 1, 0) - _shift(sx, -1, 0)
     return gx, gy
 
 
@@ -76,15 +92,27 @@ def scharr_gradients(img: jnp.ndarray):
 
 def central_gradients(img: jnp.ndarray):
     """Simple central-difference gradients (used by the KLT tracker)."""
-    diff = jnp.array([-0.5, 0.0, 0.5], jnp.float32)
-    one = jnp.array([1.0], jnp.float32)
-    gx = _conv_sep(img, diff, one)
-    gy = _conv_sep(img, one, diff)
+    gx = 0.5 * (_shift(img, 0, 1) - _shift(img, 0, -1))
+    gy = 0.5 * (_shift(img, 1, 0) - _shift(img, -1, 0))
     return gx, gy
 
 
 def box_filter(img: jnp.ndarray, size: int, normalize: bool = False) -> jnp.ndarray:
-    """size x size box sum (or mean) with edge-replicate SAME padding."""
+    """size x size box sum (or mean) with edge-replicate SAME padding.
+
+    Shift-add formulation for small sizes (fuses into one elementwise chain
+    on TPU); conv fallback for large windows."""
+    if size <= 7:
+        r = size // 2
+        acc_y = img
+        for d in range(1, r + 1):
+            acc_y = acc_y + _shift(img, d, 0) + _shift(img, -d, 0)
+        acc = acc_y
+        for d in range(1, r + 1):
+            acc = acc + _shift(acc_y, 0, d) + _shift(acc_y, 0, -d)
+        if normalize:
+            acc = acc / (size * size)
+        return acc
     k = jnp.ones((size,), jnp.float32)
     if normalize:
         k = k / size

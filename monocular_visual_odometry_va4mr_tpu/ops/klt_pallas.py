@@ -51,37 +51,35 @@ COARSE_RANGE = 10  # +-10 coarse px -> +-160 full-res px motion coverage
 # Dense coarse prior
 # ---------------------------------------------------------------------------
 
-def _box_sum(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Separable size x size box sum with SAME zero padding."""
-    k = jnp.ones((size,), jnp.float32)
-    xp = jnp.pad(x, ((size // 2, size // 2), (size // 2, size // 2)))
-    x1 = lax.conv_general_dilated(
-        xp[None, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID")[0, 0]
-    x2 = lax.conv_general_dilated(
-        x1[None, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID")[0, 0]
-    return x2
-
-
 def coarse_flow_volume(i0: jnp.ndarray, i1: jnp.ndarray,
                        rng: int = COARSE_RANGE, win: int = 5):
     """Dense integer flow at the input resolution via an SSD cost volume.
 
     Returns flow (H, W, 2) f32 in pixels of the input images, refined to
     sub-pixel by a 1-D parabola fit around the argmin in x and y.
+
+    The (2*rng+1)^2 shifted squared-diff maps are box-summed with ONE
+    batched separable conv (441 single-channel convs lowered abysmally).
     """
     H, W = i0.shape
     D = 2 * rng + 1
     pad = rng + 1
     i1p = jnp.pad(i1, pad, mode="edge")
 
-    def cost_at(dy, dx):
-        shifted = lax.dynamic_slice(i1p, (pad + dy, pad + dx), (H, W))
-        return _box_sum((shifted - i0) ** 2, win)
-
-    costs = jnp.stack(
-        [cost_at(dy, dx) for dy in range(-rng, rng + 1)
-         for dx in range(-rng, rng + 1)]
+    diffs = jnp.stack(
+        [
+            (lax.dynamic_slice(i1p, (pad + dy, pad + dx), (H, W)) - i0) ** 2
+            for dy in range(-rng, rng + 1)
+            for dx in range(-rng, rng + 1)
+        ]
     )  # (D*D, H, W)
+    r = win // 2
+    dp = jnp.pad(diffs, ((0, 0), (r, r), (r, r)))
+    k = jnp.ones((win,), jnp.float32)
+    x1 = lax.conv_general_dilated(
+        dp[:, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID")
+    costs = lax.conv_general_dilated(
+        x1, k.reshape(1, 1, 1, -1), (1, 1), "VALID")[:, 0]  # (D*D, H, W)
 
     best = jnp.argmin(costs, axis=0)  # (H, W)
     by = best // D

@@ -96,7 +96,7 @@ class VisualOdometry:
         if self.klt_backend == "pallas":
             return klt_pallas.track_features_pallas(
                 prev_pyr, next_pyr, pts, valid,
-                num_iters=min(cfg.num_iters, 12),
+                num_iters=min(cfg.num_iters, 8),
                 eps=cfg.eps,
                 min_eig_threshold=cfg.min_eig_threshold,
                 max_residual=cfg.max_residual,

@@ -153,3 +153,37 @@ class TestBARefinement:
         ate_plain = ate_rmse(res_plain.positions, gt)
         # BA must not hurt, and both stay locally consistent.
         assert ate_ba < max(ate_plain * 1.5, 0.15), (ate_ba, ate_plain)
+
+
+class TestScanDriver:
+    def test_scan_matches_python_loop(self, scene):
+        """lax.scan whole-sequence driver produces the same trajectory as the
+        per-frame host loop."""
+        import jax
+        import jax.numpy as jnp
+
+        from monocular_visual_odometry_va4mr_tpu.pipeline import scan_driver
+
+        cfg = small_config(scene.image_shape)
+        cam = Camera.from_matrix(scene.K)
+        vo = VisualOdometry(cam, cfg)
+        key = jax.random.PRNGKey(0)
+        frames = [synthetic.render_frame(scene, i) for i in range(12)]
+
+        state = vo.bootstrap(frames[0], frames[2], jax.random.fold_in(key, 0),
+                             intermediate=frames[1:2])
+        # Python loop.
+        s_loop = state
+        loop_poses = []
+        for i in range(3, 12):
+            s_loop = vo.step(s_loop, frames[i], jax.random.fold_in(key, i))
+            loop_poses.append(np.asarray(s_loop.T_CW))
+
+        # Scan.
+        images = jnp.asarray(np.stack(frames[3:12]), jnp.float32)
+        keys = jnp.stack([jax.random.fold_in(key, i) for i in range(3, 12)])
+        final, outs = scan_driver.run_block(vo, state, images, keys)
+        np.testing.assert_allclose(
+            np.asarray(outs.T_CW), np.stack(loop_poses), atol=1e-4
+        )
+        assert np.all(np.asarray(outs.status) == 0)
