@@ -183,14 +183,14 @@ def _klt_kernel(meta_ref, stacked_ref, out_ref, slab, sems, *, num_iters,
 
     lax.fori_loop(0, BF, start_dma, 0)
 
-    WB = 24  # window block rows (8-aligned load: WIN+1 rows + sublane offset)
-    row_ids = lax.broadcasted_iota(jnp.int32, (WB, 128), 0)
-    col_ids = lax.broadcasted_iota(jnp.int32, (WB, 128), 1)
+    WB = 24  # aligned load rows (WIN+1 rows + up-to-7 sublane offset + grads)
+    row_ids = lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    col_ids = lax.broadcasted_iota(jnp.int32, (16, 128), 1)
     wmask = ((row_ids < WIN) & (col_ids < WIN)).astype(jnp.float32)
 
-    def window_at(f, p, y, x):
-        """(WB, 128) block whose [0:WIN, 0:WIN] is the bilinear window of
-        slab plane (f, p) at float position (y, x) in slab coordinates."""
+    def load_aligned(f, p, y, x):
+        """(WB, 128) rows of slab plane (f, p) re-registered so integer
+        position (y, x) sits at element (0, 0); returns (rows, fy, fx)."""
         yi = jnp.floor(y).astype(jnp.int32)
         xi = jnp.floor(x).astype(jnp.int32)
         fy = y - jnp.floor(y)
@@ -205,15 +205,24 @@ def _klt_kernel(meta_ref, stacked_ref, out_ref, slab, sems, *, num_iters,
         # pltpu.roll requires non-negative shifts; roll is circular.
         rows = pltpu.roll(rows, WB - sub, 0)  # shift rows up by sub
         rows = pltpu.roll(rows, LANES - xi, 1)  # lane shift left by xi
-        rows = rows[:, :128]  # drop the second lane tile (static)
-        r00 = rows
-        r01 = pltpu.roll(rows, 127, 1)  # left by 1 (wrap lands outside mask)
-        r10 = pltpu.roll(rows, WB - 1, 0)  # up by 1
-        r11 = pltpu.roll(r10, 127, 1)
+        return rows, fy, fx
+
+    def blend16(rows, fy, fx):
+        """(16, 128) bilinear window from re-registered (WB, LANES) rows."""
+        left1 = pltpu.roll(rows, LANES - 1, 1)  # x + 1
+        up1 = pltpu.roll(rows, WB - 1, 0)  # y + 1
+        r00 = rows[:16, :128]
+        r01 = left1[:16, :128]
+        r10 = up1[:16, :128]
+        r11 = pltpu.roll(up1, LANES - 1, 1)[:16, :128]
         return (
             r00 * (1 - fx) * (1 - fy) + r01 * fx * (1 - fy)
             + r10 * (1 - fx) * fy + r11 * fx * fy
         )
+
+    def window_at(f, p, y, x):
+        rows, fy, fx = load_aligned(f, p, y, x)
+        return blend16(rows, fy, fx)
 
     def process(f, _):
         y0, x0 = slab_base(f)
@@ -230,14 +239,16 @@ def _klt_kernel(meta_ref, stacked_ref, out_ref, slab, sems, *, num_iters,
         y0f = y0.astype(jnp.float32) - PAD  # slab origin in image coords
         x0f = x0.astype(jnp.float32) - PAD
 
-        # Template window + gradients (from the previous frame's slab).
+        # Template window + gradients, all from ONE re-registered load: the
+        # +-1 sample positions are circular rolls of the same rows.
         ty = py - r - y0f
         tx = px - r - x0f
-        T = window_at(f, 0, ty, tx) * wmask
-        Txp = window_at(f, 0, ty, tx + 1.0)
-        Txm = window_at(f, 0, ty, tx - 1.0)
-        Typ = window_at(f, 0, ty + 1.0, tx)
-        Tym = window_at(f, 0, ty - 1.0, tx)
+        rows_t, tfy, tfx = load_aligned(f, 0, ty, tx)
+        T = blend16(rows_t, tfy, tfx) * wmask
+        Txp = blend16(pltpu.roll(rows_t, LANES - 1, 1), tfy, tfx)
+        Txm = blend16(pltpu.roll(rows_t, 1, 1), tfy, tfx)
+        Typ = blend16(pltpu.roll(rows_t, WB - 1, 0), tfy, tfx)
+        Tym = blend16(pltpu.roll(rows_t, 1, 0), tfy, tfx)
         Ix = (Txp - Txm) * 0.5 * wmask
         Iy = (Typ - Tym) * 0.5 * wmask
 
