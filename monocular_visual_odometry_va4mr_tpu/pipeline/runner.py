@@ -89,6 +89,8 @@ def run_sequence(
     ba_every: int = 0,
     ba_window: int = 8,
     ba_mesh=None,
+    recover: bool = True,
+    recover_after: int = 2,
 ) -> RunResult:
     """Run the full pipeline over an (index, image) iterable.
 
@@ -130,11 +132,37 @@ def run_sequence(
         ring = BARing(window=ba_window)
 
     last_img = img1
+    recent = [np.asarray(img1)]  # short frame history for re-bootstrap
+    lost_streak = 0
     for idx, img in it:
         if resume_at is not None and idx <= resume_at:
             continue
         t0 = time.perf_counter()
         state = vo.step(state, img, jax.random.fold_in(key, idx))
+
+        if recover:
+            lost = int(state.status) != STATUS_TRACKING
+            lost_streak = lost_streak + 1 if lost else 0
+            if lost_streak >= recover_after and len(recent) >= bootstrap_stride:
+                # Re-bootstrap over the recent span and re-anchor the new
+                # (unit-scale) relative pose onto the last good global pose
+                # (the reference fail-stops here, VisualOdometryPipeLine.py:352).
+                anchor = np.asarray(state.T_CW)
+                span = recent[-bootstrap_stride:]
+                fresh = vo.bootstrap(
+                    span[0], img, jax.random.fold_in(key, 10_000_000 + idx),
+                    intermediate=span[1:],
+                )
+                if int(fresh.status) == STATUS_TRACKING:
+                    T_rel = np.asarray(fresh.T_CW)
+                    state = fresh.replace(
+                        T_CW=jax.numpy.asarray(
+                            (T_rel @ anchor).astype(np.float32))
+                    )
+                    lost_streak = 0
+                    if verbose:
+                        print(f"frame {idx}: re-bootstrapped after loss")
+
         if ring is not None:
             ring.push(state)
             if idx % ba_every == 0:
@@ -145,6 +173,9 @@ def run_sequence(
         wall = (time.perf_counter() - t0) * 1000
         records.append(_record(idx, state, wall))
         last_img = img
+        recent.append(np.asarray(img))
+        if len(recent) > bootstrap_stride + 1:
+            recent.pop(0)
         if verbose:
             r = records[-1]
             print(

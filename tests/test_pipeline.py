@@ -187,3 +187,28 @@ class TestScanDriver:
             np.asarray(outs.T_CW), np.stack(loop_poses), atol=1e-4
         )
         assert np.all(np.asarray(outs.status) == 0)
+
+
+class TestRecovery:
+    def test_rebootstrap_after_blackout(self, scene):
+        """Reference fail-stops on tracking loss (VisualOdometryPipeLine.py:352);
+        this framework re-bootstraps and keeps going."""
+        cfg = small_config(scene.image_shape)
+        cam = Camera.from_matrix(scene.K)
+        vo = VisualOdometry(cam, cfg)
+
+        def frames_with_blackout():
+            for i in range(scene.num_frames):
+                img = synthetic.render_frame(scene, i)
+                if i in (8, 9):  # two blank frames kill every track
+                    img = np.zeros_like(img)
+                yield i, img
+
+        res = run_sequence(vo, frames_with_blackout(), bootstrap_stride=2,
+                           recover=True, recover_after=2)
+        statuses = [r.status for r in res.records]
+        assert any(s != 0 for s in statuses), "blackout should cause LOST"
+        # After the blackout, tracking must come back and stay back.
+        tail = statuses[-5:]
+        assert all(s == 0 for s in tail), f"no recovery: {statuses}"
+        assert res.records[-1].n_inliers >= 8
