@@ -327,7 +327,7 @@ def _run_klt_kernel(stacked_padded, meta, *, num_iters, eps,
         grid=(N // BF,),
         in_specs=[
             pl.BlockSpec((BF, 5), lambda g: (g, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BF, 8), lambda g: (g, 0),
                                memory_space=pltpu.SMEM),

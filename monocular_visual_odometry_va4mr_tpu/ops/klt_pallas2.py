@@ -1,0 +1,396 @@
+"""TPU KLT v2: lane-packed, fully-batched Pallas Lucas-Kanade.
+
+Replaces ops/klt_pallas.py's per-feature serial inner loop (round-1 profile:
+91% of the VO step, ~100k tiny VPU ops/frame).  Equivalent of
+``cv2.calcOpticalFlowPyrLK`` (reference VisualOdometryPipeLine.py:281,:287)
+under the VO regime: a dense coarse-flow prior covers large motion, this
+kernel supplies the sub-pixel refinement.
+
+Design (the whole kernel is batched tensor ops — ZERO per-feature loops
+outside DMA issue):
+
+ 1. **Aligned DMA via pre-shifted copies.**  Mosaic requires HBM slices to be
+    8-aligned in sublanes and 128-tile-aligned in lanes.  The host-side prep
+    builds FOUR copies of the (prev,next) image pair, lane-shifted by
+    0/32/64/96 px.  Picking the right copy guarantees every feature's window
+    sits within lanes [r, r+56), r < 32, of one aligned 128-lane tile — so a
+    single (32, 128) aligned DMA per feature per plane captures window + drift
+    guard.
+ 2. **Butterfly registration.**  Per-feature integer re-registration (row
+    residual 0..7, lane residual 0..31) runs as log2 stages of *static* rolls
+    of the whole (BF*2, 32, 128) slab batch, each masked per feature — 16
+    batched ops total for all features instead of 2 dynamic rolls per feature.
+ 3. **4-per-tile lane packing.**  After registration every window starts at
+    (row 8, lane 8); features are packed 4 per 128-lane tile (32-lane pitch:
+    window 16 + drift guard ±8).  All LK math then runs on (G, 32, 128)
+    tensors, G = features/4.
+ 4. **MXU group reduce-broadcast.**  Per-feature Gauss-Newton sums use one
+    (G,128) @ (128,128) block-diagonal matmul that sums each 32-lane group
+    AND broadcasts the sum back to its lanes — per-feature scalars stay
+    lane-replicated, so the Newton update is pure elementwise VPU work.
+ 5. **Double-buffered slabs**: program k issues program k+1's DMAs before
+    processing, hiding HBM latency behind compute.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import klt_pallas as v1
+
+WIN = 15          # tracking window (reference main.py:36 winSize)
+R = 32            # slab rows
+TGT = 8           # registered window top-left (row TGT, in-slot lane TGT)
+PITCH = 32        # lanes per packed feature slot
+PAD = 32          # image border padding
+BF = 128          # features per program (must be multiple of 4)
+COARSE_LEVEL = v1.COARSE_LEVEL
+
+
+def _bit(v, s):
+    """Mask: bit ``s`` set in lane-replicated integer-valued f32 tensor."""
+    return jnp.mod(jnp.floor(v / s), 2.0) >= 0.5
+
+
+def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
+                 slab, sems, *, num_iters, eps, min_eig_threshold,
+                 max_residual, n_prog):
+    """One program: BF features, fully batched.
+
+    meta_ref  (1, 2, BF, 2) SMEM int32: packed (y0/8 | x0/128 << 8 | c << 12)
+              per (feature, plane); [:, 0] = this block, [:, 1] = next block
+    regv_ref  (BF*2, 2, 128) VMEM f32: [sub, r] lane-replicated
+    fvec_ref  (G, 8, 128) VMEM f32: rows [fyp, fxp, gy0, gx0, valid, ...]
+    copies_ref (4, 2, Hp, Wc) ANY: lane-shifted padded image pairs
+    out_ref   (G, 8, 128) VMEM f32: [gx, gy, ok, resid, min_eig, ...]
+    slab      (2, BF, 2, R, 128) VMEM scratch (double buffer)
+    sems      (2,) DMA semaphores (counting; shared per buffer)
+    """
+    G = BF // 4
+    b = pl.program_id(0)
+
+    def dma(buf, sel, f, p):
+        v = meta_ref[0, sel, f, p]
+        y0 = pl.multiple_of(jnp.mod(v, 256) * 8, 8)
+        x0 = pl.multiple_of(jnp.mod(v // 256, 16) * 128, 128)
+        c = v // 4096
+        return pltpu.make_async_copy(
+            copies_ref.at[c, p, pl.ds(y0, R), pl.ds(x0, 128)],
+            slab.at[buf, f, p],
+            sems.at[buf],
+        )
+
+    def issue_block(buf, sel):
+        def body(i, _):
+            dma(buf, sel, i // 2, i % 2).start()
+            return 0
+        lax.fori_loop(0, BF * 2, body, 0)
+
+    @pl.when(b == 0)
+    def _():
+        issue_block(0, 0)
+
+    @pl.when(b + 1 < n_prog)
+    def _():
+        issue_block((b + 1) % 2, 1)
+
+    def wait_block(buf, sel):
+        def body(i, _):
+            dma(buf, sel, i // 2, i % 2).wait()
+            return 0
+        lax.fori_loop(0, BF * 2, body, 0)
+
+    wait_block(b % 2, 0)
+
+    # ---- batched registration on (BF*2, R, 128) ----
+    x = slab[b % 2].reshape(BF * 2, R, 128)
+    sub = regv_ref[:, 0, :][:, None, :]  # (BF*2, 1, 128)
+    rres = regv_ref[:, 1, :][:, None, :]
+    for s in (4, 2, 1):  # rows: shift up by sub (0..7)
+        x = jnp.where(_bit(sub, s), pltpu.roll(x, R - s, 1), x)
+    for s in (16, 8, 4, 2, 1):  # lanes: shift left by r (0..31)
+        x = jnp.where(_bit(rres, s), pltpu.roll(x, 128 - s, 2), x)
+
+    # ---- pack 4 features per 128-lane tile ----
+    xr = x.reshape(G, 4, 2, R, 128)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    packed = jnp.zeros((G, 2, R, 128), jnp.float32)
+    for j in range(4):
+        part = xr[:, j]
+        if j:
+            part = pltpu.roll(part, 32 * j, 3)
+        m = ((lane >= 32 * j) & (lane < 32 * (j + 1)))[None]
+        packed = packed + jnp.where(m, part, 0.0)
+
+    P0 = packed[:, 0]  # (G, R, 128) template plane
+    P1 = packed[:, 1]  # search plane
+
+    # Window mask: rows 0..14 of the 16-row slice, in-slot lanes TGT..TGT+14.
+    row16 = lax.broadcasted_iota(jnp.int32, (1, 16, 128), 1)
+    lane16 = lax.broadcasted_iota(jnp.int32, (1, 16, 128), 2)
+    il = jnp.mod(lane16, PITCH)
+    wmask = ((row16 < WIN) & (il >= TGT) & (il < TGT + WIN)).astype(jnp.float32)
+
+    # Block-diagonal group reduce-broadcast matrix (128, 128).
+    ri = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    BD = (ri // PITCH == ci // PITCH).astype(jnp.float32)
+
+    def gsum(win_prod):
+        """(G, 16, 128) masked window product -> per-feature sums,
+        lane-replicated (G, 128)."""
+        return jnp.dot(jnp.sum(win_prod, axis=1), BD,
+                       preferred_element_type=jnp.float32)
+
+    def blend(t, fy, fx):
+        """Bilinear blend at per-feature fractional (fy, fx), lane-replicated
+        (G, 128) -> (G, rows, 128)."""
+        fy = fy[:, None, :]
+        fx = fx[:, None, :]
+        t01 = pltpu.roll(t, 128 - 1, 2)           # x + 1
+        t10 = pltpu.roll(t, t.shape[1] - 1, 1)    # y + 1
+        t11 = pltpu.roll(t01, t.shape[1] - 1, 1)
+        return (t * (1 - fx) * (1 - fy) + t01 * fx * (1 - fy)
+                + t10 * (1 - fx) * fy + t11 * fx * fy)
+
+    fyp = fvec_ref[:, 0, :]
+    fxp = fvec_ref[:, 1, :]
+    Tb = blend(P0, fyp, fxp)  # (G, R, 128)
+    Ix = 0.5 * (pltpu.roll(Tb, 128 - 1, 2) - pltpu.roll(Tb, 1, 2))
+    Iy = 0.5 * (pltpu.roll(Tb, R - 1, 1) - pltpu.roll(Tb, 1, 1))
+    WT = Tb[:, TGT:TGT + 16, :] * wmask
+    IxW = Ix[:, TGT:TGT + 16, :] * wmask
+    IyW = Iy[:, TGT:TGT + 16, :] * wmask
+
+    gxx = gsum(IxW * IxW)
+    gxy = gsum(IxW * IyW)
+    gyy = gsum(IyW * IyW)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+    def sample_window(gy, gx):
+        """Search window at per-feature offset g from the registered origin."""
+        ny = jnp.clip(jnp.floor(gy), -8.0, 7.0)
+        nx = jnp.clip(jnp.floor(gx), -8.0, 7.0)
+        ay = (ny + 8.0)[:, None, :]  # 0..15
+        ax = (nx + 8.0)[:, None, :]
+        s = pltpu.roll(P1, 8, 1)          # pre-shift: rows down 8
+        for st in (8, 4, 2, 1):           # shift up by ay
+            s = jnp.where(_bit(ay, st), pltpu.roll(s, R - st, 1), s)
+        s = pltpu.roll(s, 8, 2)           # pre-shift: lanes right 8
+        for st in (8, 4, 2, 1):           # shift left by ax
+            s = jnp.where(_bit(ax, st), pltpu.roll(s, 128 - st, 2), s)
+        sb = blend(s[:, TGT:R, :], gy - ny, gx - nx)  # (G, 24, 128)
+        return sb[:, 0:16, :] * wmask
+
+    gy = fvec_ref[:, 2, :]
+    gx = fvec_ref[:, 3, :]
+    frozen = jnp.zeros_like(gx, bool)
+    for _ in range(num_iters):
+        cur = sample_window(gy, gx)
+        diff = cur - WT
+        b0 = gsum(diff * IxW)
+        b1 = gsum(diff * IyW)
+        d0 = -(gyy * b0 - gxy * b1) * inv_det
+        d1 = -(-gxy * b0 + gxx * b1) * inv_det
+        gx = jnp.where(frozen, gx, gx + d0)
+        gy = jnp.where(frozen, gy, gy + d1)
+        frozen = frozen | ((d0 * d0 + d1 * d1) < eps * eps)
+
+    cur = sample_window(gy, gx)
+    resid = gsum(jnp.abs(cur - WT)) / (WIN * WIN)
+
+    drift_ok = ((gx > -7.99) & (gx < 7.99) & (gy > -7.99) & (gy < 7.99))
+    eig_ok = (min_eig / (WIN * WIN)) > min_eig_threshold
+    ok = (drift_ok & eig_ok & (resid < max_residual)
+          & (fvec_ref[:, 4, :] > 0.5))
+
+    out_ref[:, 0, :] = gx
+    out_ref[:, 1, :] = gy
+    out_ref[:, 2, :] = jnp.where(ok, 1.0, 0.0)
+    out_ref[:, 3, :] = resid
+    out_ref[:, 4, :] = min_eig
+    out_ref[:, 5, :] = jnp.zeros_like(gx)
+    out_ref[:, 6, :] = jnp.zeros_like(gx)
+    out_ref[:, 7, :] = jnp.zeros_like(gx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iters", "eps", "min_eig_threshold", "max_residual",
+                     "interpret"),
+)
+def _run_klt2(copies, meta, regv, fvec, *, num_iters, eps, min_eig_threshold,
+              max_residual, interpret=False):
+    N = regv.shape[0] // 2
+    n_prog = N // BF
+    G = BF // 4
+    kernel = functools.partial(
+        _klt2_kernel, num_iters=num_iters, eps=eps,
+        min_eig_threshold=min_eig_threshold, max_residual=max_residual,
+        n_prog=n_prog,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N // 4, 8, 128), jnp.float32),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((1, 2, BF, 2), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.SMEM),  # meta: this + next block
+            pl.BlockSpec((BF * 2, 2, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 128), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((G, 8, 128), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, BF, 2, R, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(meta, regv, fvec, copies)
+
+
+def _prep_plane(pts_xy, H, W):
+    """Per-plane DMA/registration metadata for window top-left = pts - 7.
+
+    Returns (y0, x0, c, sub, r, fy, fx, tfloor_xy) — all (N,) except
+    tfloor_xy (N, 2)."""
+    t = pts_xy - (WIN - 1) / 2.0 + PAD  # padded coords of window top-left
+    tf = jnp.floor(t)
+    fx = t[:, 0] - tf[:, 0]
+    fy = t[:, 1] - tf[:, 1]
+    bx = tf[:, 0].astype(jnp.int32) - TGT
+    by = tf[:, 1].astype(jnp.int32) - TGT
+    y0 = (by // 8) * 8
+    sub = by - y0
+    c = jnp.mod(bx, 128) // 32
+    r = jnp.mod(bx, 32)
+    x0 = ((bx - 32 * c) // 128) * 128
+    return y0, x0, c, sub, r, fy, fx, tf
+
+
+def _lane_rep(vals, n_rep):
+    """(N,) -> (N//(128//n_rep), 128) with each value replicated n_rep x."""
+    per_row = 128 // n_rep
+    return jnp.repeat(vals.reshape(-1, per_row), n_rep, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iters", "eps", "min_eig_threshold", "max_residual",
+                     "interpret"),
+)
+def track_features_pallas2(
+    prev_pyr: Tuple[jnp.ndarray, ...],
+    next_pyr: Tuple[jnp.ndarray, ...],
+    pts: jnp.ndarray,  # (N, 2) [x, y] positions in the previous frame
+    valid: jnp.ndarray,  # (N,) bool
+    *,
+    num_iters: int = 8,
+    eps: float = 0.01,
+    min_eig_threshold: float = 1e-4,
+    max_residual: float = 20.0,
+    interpret: bool = False,
+):
+    """Drop-in equivalent of klt.track_features (cv2.calcOpticalFlowPyrLK,
+    reference VisualOdometryPipeLine.py:281) on the packed Pallas kernel.
+
+    Tables of any length are padded up to a multiple of BF (=128)."""
+    i0 = prev_pyr[0]
+    i1 = next_pyr[0]
+    H, W = i0.shape
+    N_in = pts.shape[0]
+    N = -(-N_in // BF) * BF
+    if N != N_in:
+        pts = jnp.concatenate(
+            [pts, jnp.full((N - N_in, 2), 64.0, pts.dtype)], axis=0)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((N - N_in,), bool)], axis=0)
+
+    # Invalid slots may hold garbage/NaN positions; every position that feeds
+    # DMA-base arithmetic must be finite and in range or the chip faults.
+    lim = jnp.array([W + 8.0, H + 8.0], jnp.float32)
+    pts_s = jnp.clip(jnp.nan_to_num(pts, nan=64.0, posinf=64.0, neginf=64.0),
+                     -8.0, lim)
+
+    # Dense coarse prior (shared with v1).
+    coarse_prev = prev_pyr[min(COARSE_LEVEL, len(prev_pyr) - 1)]
+    coarse_next = next_pyr[min(COARSE_LEVEL, len(next_pyr) - 1)]
+    scale = float(round(H / coarse_prev.shape[0]))
+    flow_c = v1.coarse_flow_volume(coarse_prev, coarse_next)
+    pred = v1.sample_map_onehot(flow_c, pts_s / scale) * scale
+
+    q = jnp.clip(jnp.nan_to_num(pts_s + pred, nan=64.0, posinf=64.0,
+                                neginf=64.0), -8.0, lim)
+
+    # Padded image pair + 4 lane-shifted copies.
+    Hp = -(-(H + 2 * PAD) // 8) * 8
+    Wc = -(-(W + 160) // 128) * 128
+    We = Wc + 96
+    base = jnp.stack([i0, i1]).astype(jnp.float32)
+    base = jnp.pad(base, ((0, 0), (PAD, Hp - H - PAD), (PAD, We - W - PAD)),
+                   mode="edge")
+    copies = jnp.stack([base[:, :, 32 * cc:32 * cc + Wc] for cc in range(4)])
+
+    y0p, x0p, cp, subp, rp, fyp, fxp, _ = _prep_plane(pts_s, H, W)
+    y0q, x0q, cq, subq, rq, fyq, fxq, tfq = _prep_plane(q, H, W)
+
+    # Packed DMA descriptors (y0/8 | x0/128 << 8 | c << 12), one int32 per
+    # (feature, plane), arranged (n_prog, 2, BF, 2) where [:, 1] is the NEXT
+    # block's copy for the double-buffered lookahead issue.
+    packed_pq = jnp.stack([
+        y0p // 8 + (x0p // 128) * 256 + cp * 4096,
+        y0q // 8 + (x0q // 128) * 256 + cq * 4096,
+    ], axis=-1).astype(jnp.int32)  # (N, 2)
+    blocks = packed_pq.reshape(N // BF, BF, 2)
+    nxt = jnp.concatenate([blocks[1:], blocks[-1:]], axis=0)
+    meta = jnp.stack([blocks, nxt], axis=1)  # (n_prog, 2, BF, 2)
+
+    # regv: (N*2, 2, 128) [sub, r] lane-replicated across all lanes.
+    sub2 = jnp.stack([subp, subq], -1).reshape(-1).astype(jnp.float32)
+    r2 = jnp.stack([rp, rq], -1).reshape(-1).astype(jnp.float32)
+    regv = jnp.stack([
+        jnp.broadcast_to(sub2[:, None], (2 * N, 128)),
+        jnp.broadcast_to(r2[:, None], (2 * N, 128)),
+    ], axis=1)
+
+    # fvec: (N/4, 8, 128) per-feature rows, 32-lane slot replication.
+    zeros = jnp.zeros((N,), jnp.float32)
+    rows = [fyp, fxp, fyq, fxq, valid.astype(jnp.float32),
+            zeros, zeros, zeros]
+    fvec = jnp.stack([_lane_rep(v, PITCH) for v in rows], axis=1)
+
+    out = _run_klt2(copies, meta, regv, fvec, num_iters=num_iters, eps=eps,
+                    min_eig_threshold=min_eig_threshold,
+                    max_residual=max_residual, interpret=interpret)
+
+    vals = out.reshape(N // 4, 8, 4, 32)[:, :, :, 0]  # (N/4, 8, 4)
+    vals = vals.transpose(0, 2, 1).reshape(N, 8)
+    gx, gy, okf, resid = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+
+    # Tracked position: registered integer origin + g + window half-span,
+    # back in unpadded coords.
+    new_x = tfq[:, 0] + gx + (WIN - 1) / 2.0 - PAD
+    new_y = tfq[:, 1] + gy + (WIN - 1) / 2.0 - PAD
+    new_pts = jnp.stack([new_x, new_y], axis=-1)
+
+    rwin = (WIN - 1) // 2
+    inb = ((new_x >= rwin) & (new_x <= W - 1 - rwin)
+           & (new_y >= rwin) & (new_y <= H - 1 - rwin))
+    # Template window must be fully inside the (edge-padded) image for the
+    # gradients to be meaningful; fail features hugging the border.
+    tin = ((pts[:, 0] >= rwin) & (pts[:, 0] <= W - 1 - rwin)
+           & (pts[:, 1] >= rwin) & (pts[:, 1] <= H - 1 - rwin))
+    ok = (okf > 0.5) & inb & tin & valid
+    return new_pts[:N_in], ok[:N_in], resid[:N_in]

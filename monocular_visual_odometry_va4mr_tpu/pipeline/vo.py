@@ -35,8 +35,8 @@ from ..core.camera import Camera
 from ..core.config import PipelineConfig
 from ..core.slots import alloc_slots, scatter_rows
 from ..core.state import STATUS_LOST, STATUS_TRACKING, FrameState, init_state
-from ..ops import (corners, essential, image as imops, klt, klt_pallas, match,
-                   pnp, sift, triangulate)
+from ..ops import (corners, essential, image as imops, klt, klt_pallas,
+                   klt_pallas2, match, pnp, sift, triangulate)
 
 
 def _num_klt_levels(config: PipelineConfig) -> int:
@@ -66,15 +66,15 @@ class VisualOdometry:
                               min(klt_pallas.COARSE_LEVEL + 1, 6))
         backend = config.klt.backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            backend = "pallas2" if jax.default_backend() != "cpu" else "xla"
         self.klt_backend = backend
         self._bootstrap_geom = jax.jit(self._bootstrap_geom_impl)
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
     def make_pyramid(self, image: jnp.ndarray):
-        if self.klt_backend == "pallas":
-            # The Pallas tracker needs only full res + a /16 coarse level.
+        if self.klt_backend in ("pallas", "pallas2"):
+            # The Pallas trackers need only full res + a /16 coarse level.
             return imops.build_flat_pyramid(image, 16)
         return imops.build_pyramid(image, self.num_levels)
 
@@ -93,6 +93,14 @@ class VisualOdometry:
 
     def _track(self, prev_pyr, next_pyr, pts, valid):
         cfg = self.config.klt
+        if self.klt_backend == "pallas2":
+            return klt_pallas2.track_features_pallas2(
+                prev_pyr, next_pyr, pts, valid,
+                num_iters=min(cfg.num_iters, 8),
+                eps=cfg.eps,
+                min_eig_threshold=cfg.min_eig_threshold,
+                max_residual=cfg.max_residual,
+            )
         if self.klt_backend == "pallas":
             return klt_pallas.track_features_pallas(
                 prev_pyr, next_pyr, pts, valid,
