@@ -48,6 +48,20 @@ class FrameState:
     lm_gen: jnp.ndarray  # (K,) int32 — slot generation; bumps on re-allocation
     # so cross-frame consumers (windowed BA) can detect slot reuse
 
+    # --- landmark anchor observation (sliding re-triangulation) ---
+    # Frame-to-frame KLT chaining drifts ~0.3-0.5 px/frame under forward
+    # motion (translation-only LK on zooming texture); with a FIXED 3D point
+    # the accumulated drift walks every landmark off the PnP inlier set
+    # within ~15 frames and the map starves (measured round 3, tools/
+    # diag_drift.py).  Each landmark therefore carries an anchor observation
+    # (pixel + extrinsics, refreshed every reanchor_age frames) and is
+    # re-triangulated against it each frame, so PnP sees at most one
+    # anchor-window of drift.  The reference has no equivalent (its fixed
+    # landmarks simply get culled, VisualOdometryPipeLine.py:350).
+    lm_first_uv: jnp.ndarray  # (K,2) anchor pixel coords
+    lm_T_CW_first: jnp.ndarray  # (K,4,4) anchor extrinsics
+    lm_anchor_age: jnp.ndarray  # (K,) int32 frames since anchor refresh
+
     # --- candidate tracks ("potential_*") ---
     cand_uv: jnp.ndarray  # (M,2) current pixel coords
     cand_first_uv: jnp.ndarray  # (M,2) pixel coords at first observation
@@ -77,6 +91,9 @@ def init_state(config: PipelineConfig, pyramid: Tuple[jnp.ndarray, ...]) -> Fram
         lm_valid=jnp.zeros((K,), bool),
         lm_inlier=jnp.zeros((K,), bool),
         lm_gen=jnp.zeros((K,), jnp.int32),
+        lm_first_uv=jnp.zeros((K, 2), jnp.float32),
+        lm_T_CW_first=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (K, 1, 1)),
+        lm_anchor_age=jnp.zeros((K,), jnp.int32),
         cand_uv=jnp.zeros((M, 2), jnp.float32),
         cand_first_uv=jnp.zeros((M, 2), jnp.float32),
         cand_T_CW_first=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (M, 1, 1)),

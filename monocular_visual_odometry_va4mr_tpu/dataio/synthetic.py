@@ -99,9 +99,11 @@ def make_corridor_scene(
                           tex_freqs, tex_phases, tex_amps)
 
 
-def render_frame(scene: SyntheticScene, frame: int, sigma: float = 1.1,
+def render_frame(scene, frame: int, sigma: float = 1.1,
                  radius: int = 4) -> np.ndarray:
     """Render frame ``frame`` as an (H, W) f32 grayscale image in [0, 255]."""
+    if hasattr(scene, "render"):
+        return scene.render(frame)
     H, W = scene.image_shape
     T_CW = scene.pose_CW(frame)
     Xc = scene.points @ T_CW[:3, :3].T + T_CW[:3, 3]
@@ -151,7 +153,312 @@ def render_frame(scene: SyntheticScene, frame: int, sigma: float = 1.1,
     return out.astype(np.float32)
 
 
-def render_sequence(scene: SyntheticScene):
+def render_sequence(scene):
     """Yield (frame_index, image) pairs for the whole scene."""
     for i in range(scene.num_frames):
         yield i, render_frame(scene, i)
+
+
+def make_orbit_scene(
+    seed: int = 0,
+    num_frames: int = 80,
+    image_shape=(320, 416),
+    radius: float = 6.0,
+    revolutions: float = 1.05,
+    half_width: float = 14.0,
+    ground_y: float = 1.65,
+) -> TexturedScene:
+    """Loopy trajectory: the camera orbits a circle inside the textured
+    corridor and revisits its start viewpoint — the scene for loop-closure /
+    pose-graph tests (the corridor scenes never revisit anything)."""
+    H, W = image_shape
+    K = np.array([[0.7 * W, 0.0, W / 2.0],
+                  [0.0, 0.7 * W, H / 2.0],
+                  [0.0, 0.0, 1.0]])
+    poses = np.zeros((num_frames, 4, 4))
+    for i in range(num_frames):
+        th = 2.0 * np.pi * revolutions * i / num_frames
+        pos = np.array([radius * np.sin(th), 0.0,
+                        radius * (1.0 - np.cos(th))])
+        yaw = th  # heading = circle tangent
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        T[:3, 3] = pos
+        poses[i] = T
+    pillars = np.zeros((0, 5))
+    return TexturedScene(K, poses, image_shape, half_width, ground_y,
+                         pillars, seed)
+
+
+# Bump when any renderer/scene-generator change invalidates cached frames.
+SCENE_VERSION = 2
+
+
+def render_all_cached(scene, tag: str, cache_dir: str = "/tmp/mvo_scenes"):
+    """Render every frame of ``scene``, memoized on disk.
+
+    Host rendering of the textured world costs ~1 s/frame; benches and
+    diagnostics re-render identical sequences constantly, so frames are
+    cached under a caller-supplied tag that must encode the scene params.
+    """
+    import os
+
+    path = os.path.join(cache_dir, f"v{SCENE_VERSION}-{tag}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return [z[f"f{i}"] for i in range(scene.num_frames)]
+    frames = [render_frame(scene, i) for i in range(scene.num_frames)]
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp.npz"  # pid-unique: concurrent renders race
+    np.savez_compressed(tmp, **{f"f{i}": f for i, f in enumerate(frames)})
+    os.replace(tmp, path)
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Textured-surface world: real-image statistics (dense texture everywhere,
+# perspective foreshortening, horizon, occluding pillars).  The blob corridor
+# above exercises point-feature logic; this world matches what the reference
+# actually runs on (KITTI street imagery, reference utils.py:16-25,
+# main.py:17) so tracker acceptance gates and E2E accuracy are validated
+# under realistic statistics.
+# ---------------------------------------------------------------------------
+
+
+def _value_noise(u, v, seed, octaves=5, base_cell=2.0, footprint=None):
+    """Analytic multi-octave value noise at world coords (u, v).
+
+    Each octave bilinearly interpolates a deterministic random lattice (hash
+    of integer cell coords), so the texture is a pure function of (u, v) —
+    every frame samples the SAME world texture, which is what makes KLT/SIFT
+    correspondence physically meaningful.  ``footprint`` (same shape as u) is
+    the pixel's world-space footprint; octaves whose wavelength falls below
+    the footprint are attenuated (analytic mip filter) to avoid aliasing
+    shimmer that no real camera exhibits.
+    """
+
+    def lattice(ix, iy, o):
+        # Deterministic integer hash -> [0, 1).
+        h = (ix * 374761393 + iy * 668265263) ^ (seed * 2246822519 + o * 3266489917)
+        h = (h ^ (h >> 13)) * 1274126177
+        h = h ^ (h >> 16)
+        return (h & 0xFFFFF).astype(np.float32) / float(0xFFFFF)
+
+    out = np.zeros(np.broadcast(u, v).shape, np.float32)
+    total_w = np.zeros_like(out)
+    for o in range(octaves):
+        cell = base_cell / (2.0**o)  # wavelength of this octave
+        if footprint is not None:
+            # Smoothly kill octaves finer than ~the pixel footprint.
+            w = np.clip(2.0 * (cell / (footprint + 1e-9)) - 1.0, 0.0, 1.0)
+        else:
+            w = np.ones_like(out)
+        amp = 0.55**o
+        x = u / cell
+        y = v / cell
+        ix = np.floor(x).astype(np.int64)
+        iy = np.floor(y).astype(np.int64)
+        fx = (x - ix).astype(np.float32)
+        fy = (y - iy).astype(np.float32)
+        # Smoothstep interpolation weights (C1 -> smooth gradients for LK).
+        sx = fx * fx * (3.0 - 2.0 * fx)
+        sy = fy * fy * (3.0 - 2.0 * fy)
+        v00 = lattice(ix, iy, o)
+        v01 = lattice(ix + 1, iy, o)
+        v10 = lattice(ix, iy + 1, o)
+        v11 = lattice(ix + 1, iy + 1, o)
+        val = (v00 * (1 - sx) * (1 - sy) + v01 * sx * (1 - sy)
+               + v10 * (1 - sx) * sy + v11 * sx * sy)
+        out += amp * w * (val - 0.5)
+        total_w += amp * w
+    return out / np.maximum(total_w, 1e-6)
+
+
+@dataclasses.dataclass
+class TexturedScene:
+    """Perspective-rendered corridor of textured planes with exact GT."""
+
+    K: np.ndarray
+    poses_WC: np.ndarray  # (F, 4, 4)
+    image_shape: tuple
+    half_width: float  # corridor half width (walls at x = ±half_width)
+    ground_y: float  # ground plane height (y down is positive in camera)
+    pillars: np.ndarray  # (P, 5): [z, x0, x1, y0, y1] wall segments facing -z
+    seed: int
+
+    @property
+    def num_frames(self):
+        return self.poses_WC.shape[0]
+
+    def pose_CW(self, i):
+        T = self.poses_WC[i]
+        Ti = np.eye(4)
+        Ti[:3, :3] = T[:3, :3].T
+        Ti[:3, 3] = -T[:3, :3].T @ T[:3, 3]
+        return Ti
+
+    def render(self, frame: int) -> np.ndarray:
+        return _render_textured(self, frame)
+
+
+def make_textured_scene(
+    seed: int = 0,
+    num_frames: int = 120,
+    image_shape=(376, 1241),
+    K: np.ndarray = None,
+    step: float = 1.0,
+    yaw_amplitude_deg: float = 6.0,
+    yaw_period: float = 70.0,
+    half_width: float = 8.0,
+    ground_y: float = 1.65,
+    num_pillars: int = 24,
+    path_clearance: float = 2.5,
+) -> TexturedScene:
+    """KITTI-like world: camera 1.65 m above a textured ground plane driving
+    down a corridor of textured walls with occluding pillars.  Defaults match
+    KITTI seq-05 geometry (376x1241 @ f=718.856, reference utils.py:22-24,
+    ~1 m/frame at 10 Hz).
+
+    The trajectory weaves (yaw = A*sin(2*pi*t/P)) instead of turning at a
+    constant rate: a constant-rate path drifts laterally without bound and
+    eventually drives THROUGH the corridor wall; the S-curve keeps the
+    camera in-lane while still exercising rotation.  Pillars are placed
+    relative to the path with at least ``path_clearance`` m of lateral
+    room — the road stays drivable, as a real street scene would be.
+    """
+    rng = np.random.default_rng(seed)
+    H, W = image_shape
+    if K is None:
+        if image_shape == (376, 1241):
+            K = np.array([[718.856, 0.0, 607.1928],
+                          [0.0, 718.856, 185.2157],
+                          [0.0, 0.0, 1.0]])  # KITTI 05 (reference utils.py:22-24)
+        else:
+            K = np.array([[0.7 * W, 0.0, W / 2.0],
+                          [0.0, 0.7 * W, H / 2.0],
+                          [0.0, 0.0, 1.0]])
+
+    poses = np.zeros((num_frames, 4, 4))
+    pos = np.zeros(3)
+    amp = np.radians(yaw_amplitude_deg)
+    for i in range(num_frames):
+        yaw = amp * np.sin(2.0 * np.pi * i / yaw_period)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_WC = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        T = np.eye(4)
+        T[:3, :3] = R_WC
+        T[:3, 3] = pos
+        poses[i] = T
+        fwd = R_WC @ np.array([0.0, 0.0, 1.0])
+        pos = pos + step * fwd
+
+    length = num_frames * step + 120.0
+    # Occluding pillars: wall segments at staggered depths, offset laterally
+    # from wherever the path is at that depth (linear extrapolation past the
+    # last pose) so the camera never drives into one.
+    path_z = poses[:, 2, 3]
+    path_x = poses[:, 0, 3]
+    pz = rng.uniform(15.0, length, num_pillars)
+    x_at = np.interp(pz, path_z, path_x,
+                     right=path_x[-1] + (pz.max() - path_z[-1]) * 0.0)
+    side = rng.choice([-1.0, 1.0], num_pillars)
+    off = rng.uniform(path_clearance, half_width - 1.0, num_pillars)
+    px0 = np.clip(x_at + side * off, -half_width + 0.3, half_width - 0.3)
+    pw = rng.uniform(0.6, 2.0, num_pillars)
+    pillars = np.stack([
+        pz,
+        np.minimum(px0, px0 + side * pw),
+        np.maximum(px0, px0 + side * pw),
+        np.full(num_pillars, -3.0),  # top (y up is negative)
+        np.full(num_pillars, ground_y),
+    ], axis=1)
+
+    return TexturedScene(K, poses, image_shape, half_width, ground_y,
+                         pillars.astype(np.float64), seed)
+
+
+def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
+    """Ray-cast every pixel against ground/walls/pillars, shade by world-
+    anchored value noise with analytic mip filtering; exact perspective."""
+    H, W = scene.image_shape
+    K = scene.K
+    T_WC = scene.poses_WC[frame]
+    R = T_WC[:3, :3]
+    cam = T_WC[:3, 3]
+    f = K[0, 0]
+
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    # Ray directions in world frame.
+    d_cam = np.stack([(us - K[0, 2]) / K[0, 0],
+                      (vs - K[1, 2]) / K[1, 1],
+                      np.ones_like(us)], axis=-1)
+    d = d_cam @ R.T  # (H, W, 3)
+
+    INF = 1e18
+    best_t = np.full((H, W), INF)
+    best_shade = np.full((H, W), 0.0, np.float32)
+
+    def consider(t, mask, u_tex, v_tex, tex_seed, base_cell, bright, slope):
+        nonlocal best_t, best_shade
+        hit = mask & (t > 0.2) & (t < best_t)
+        idx = np.flatnonzero(hit.ravel())
+        if idx.size == 0:
+            return
+        # Texture is evaluated ONLY at hit pixels (the noise hash dominates
+        # render cost; full-image evaluation per surface was ~30x slower).
+        tf = t.ravel()[idx]
+        # World-space pixel footprint at the hit: t / f, inflated by grazing
+        # angle via 1/|cos| ~ slope term (cheap anisotropic approximation).
+        fp = (tf / f) * (slope.ravel()[idx] if isinstance(slope, np.ndarray)
+                         else slope)
+        shade = _value_noise(u_tex.ravel()[idx], v_tex.ravel()[idx], tex_seed,
+                             octaves=6, base_cell=base_cell, footprint=fp)
+        # Saturating contrast curve: raw value noise is too smooth for a DoG
+        # detector (measured: cv2 SIFT finds ~160 kp/frame raw vs ~1200 with
+        # gain 2.5 — the latter matches real street-imagery statistics).
+        shade = np.tanh(2.5 * shade) / np.tanh(1.25)
+        val = np.clip(bright + 95.0 * shade, 4.0, 251.0).astype(np.float32)
+        bt = best_t.ravel()
+        bs = best_shade.ravel()
+        bt[idx] = tf
+        bs[idx] = val
+        best_t = bt.reshape(best_t.shape)
+        best_shade = bs.reshape(best_shade.shape)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # Ground plane y = ground_y (camera carries y=0).
+        dy = d[..., 1]
+        t = (scene.ground_y - cam[1]) / dy
+        p = cam + t[..., None] * d
+        cosg = np.abs(dy) / np.linalg.norm(d, axis=-1)
+        consider(t, dy > 1e-9, p[..., 0], p[..., 2], scene.seed + 1, 1.6,
+                 120.0, 1.0 / np.maximum(cosg, 0.05))
+
+        # Walls x = ±half_width.
+        for sgn, s_off in ((-1.0, 2), (1.0, 3)):
+            dx = d[..., 0]
+            t = (sgn * scene.half_width - cam[0]) / dx
+            p = cam + t[..., None] * d
+            above = p[..., 1] < scene.ground_y  # walls end at the ground
+            cosw = np.abs(dx) / np.linalg.norm(d, axis=-1)
+            consider(t, (np.abs(dx) > 1e-9) & above, p[..., 2], p[..., 1],
+                     scene.seed + s_off, 1.1, 135.0,
+                     1.0 / np.maximum(cosw, 0.05))
+
+        # Pillar quads z = const (world), x/y bounded.
+        dz = d[..., 2]
+        for i, (pzz, x0, x1, y0, y1) in enumerate(scene.pillars):
+            t = (pzz - cam[2]) / dz
+            p = cam + t[..., None] * d
+            inb = ((p[..., 0] >= x0) & (p[..., 0] <= x1)
+                   & (p[..., 1] >= y0) & (p[..., 1] <= y1))
+            consider(t, (np.abs(dz) > 1e-9) & inb, p[..., 0] * 3.1 + 13.7 * i,
+                     p[..., 1] * 3.1, scene.seed + 10 + i, 0.9, 150.0,
+                     np.ones_like(t))
+
+    # Sky: soft vertical gradient, featureless.
+    sky = best_t >= INF
+    out = np.where(sky, (210.0 - 40.0 * vs / H).astype(np.float32), best_shade)
+    return out.astype(np.float32)

@@ -139,19 +139,24 @@ def build_pyramid(img: jnp.ndarray, num_levels: int):
     return tuple(levels)
 
 
-@functools.partial(jax.jit, static_argnames=("factor",))
-def build_flat_pyramid(img: jnp.ndarray, factor: int = 16):
-    """Two-level pyramid (full res, 1/factor box-averaged) — all the Pallas
-    tracker needs (full-res LK + coarse prior volume), at a fraction of the
-    Gaussian chain's cost."""
+@functools.partial(jax.jit, static_argnames=("factor", "mid_factor"))
+def build_flat_pyramid(img: jnp.ndarray, factor: int = 16,
+                       mid_factor: int = 4):
+    """Flat pyramid (full res, 1/mid_factor, 1/factor box-averaged) — what
+    the Pallas tracker chain needs (full-res LK + quarter-res LK + coarse
+    prior volume), at a fraction of the Gaussian chain's cost."""
     img = img.astype(jnp.float32)
     H, W = img.shape
-    Hp = H - H % factor
-    Wp = W - W % factor
-    coarse = img[:Hp, :Wp].reshape(
-        Hp // factor, factor, Wp // factor, factor
-    ).mean(axis=(1, 3))
-    return (img, coarse)
+
+    def down(x, f):
+        h = x.shape[0] - x.shape[0] % f
+        w = x.shape[1] - x.shape[1] % f
+        return x[:h, :w].reshape(h // f, f, w // f, f).mean(axis=(1, 3))
+
+    mid = down(img, mid_factor)
+    coarse = down(mid, factor // mid_factor) if factor % mid_factor == 0 \
+        else down(img, factor)
+    return (img, mid, coarse)
 
 
 def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:

@@ -358,25 +358,35 @@ def track_features_pallas(
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
     max_residual: float = 20.0,
+    prior: jnp.ndarray = None,
     interpret: bool = False,
 ):
     """Drop-in equivalent of klt.track_features using the Pallas tracker.
 
     The pyramid tuples only need levels [0] and [COARSE_LEVEL] (build_pyramid
     output works).  N must be a multiple of BF (pad the table).
+
+    ``prior``: optional (N, 2) per-feature flow prior in px of the level-0
+    images; when given, the internal coarse-volume prior is skipped (the
+    multi-level chain in klt_pallas2.track_multilevel supplies a refined
+    prior from the quarter-resolution pass).
     """
     i0 = prev_pyr[0]
     i1 = next_pyr[0]
     H, W = i0.shape
-    # Coarse prior level: deepest available level at or above COARSE_LEVEL's
-    # reduction; scale inferred from shapes so 2-level (full, /16) pyramids
-    # from avg-pooling work the same as full Gaussian pyramids.
-    coarse_prev = prev_pyr[min(COARSE_LEVEL, len(prev_pyr) - 1)]
-    coarse_next = next_pyr[min(COARSE_LEVEL, len(next_pyr) - 1)]
-    scale = float(round(H / coarse_prev.shape[0]))
+    if prior is None:
+        # Coarse prior level: deepest available level at or above
+        # COARSE_LEVEL's reduction; scale inferred from shapes so 2-level
+        # (full, /16) pyramids from avg-pooling work the same as full
+        # Gaussian pyramids.
+        coarse_prev = prev_pyr[min(COARSE_LEVEL, len(prev_pyr) - 1)]
+        coarse_next = next_pyr[min(COARSE_LEVEL, len(next_pyr) - 1)]
+        scale = float(round(H / coarse_prev.shape[0]))
 
-    flow_c = coarse_flow_volume(coarse_prev, coarse_next)  # (h, w, 2)
-    pred = sample_map_onehot(flow_c, pts / scale) * scale  # (N, 2) full-res px
+        flow_c = coarse_flow_volume(coarse_prev, coarse_next)  # (h, w, 2)
+        pred = sample_map_onehot(flow_c, pts / scale) * scale  # (N, 2) px
+    else:
+        pred = prior
 
     q = pts + pred
     meta = jnp.concatenate(

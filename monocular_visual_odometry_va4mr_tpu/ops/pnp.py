@@ -206,8 +206,9 @@ def refine_pose_gn(
         r = jnp.stack([u_err, v_err], axis=1)  # (N, 2)
 
         Jw = J * w[:, None, None]
-        H = jnp.einsum("nij,nik->jk", Jw, J) + 1e-6 * jnp.eye(6)
-        g = jnp.einsum("nij,ni->j", Jw, r)
+        H = jnp.einsum("nij,nik->jk", Jw, J,
+                       precision="highest") + 1e-6 * jnp.eye(6)
+        g = jnp.einsum("nij,ni->j", Jw, r, precision="highest")
         xi = -jnp.linalg.solve(H, g)
         return lie.se3_exp(xi) @ T, None
 

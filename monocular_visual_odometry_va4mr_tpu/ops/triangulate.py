@@ -53,8 +53,10 @@ def triangulate_dlt(P0: jnp.ndarray, P1: jnp.ndarray, uv0: jnp.ndarray,
     # rejects anyway.
     M = rows[..., :3]  # (..., 4, 3)
     a = rows[..., 3]  # (..., 4)
-    N = jnp.swapaxes(M, -1, -2) @ M  # (..., 3, 3)
-    b = -jnp.einsum("...ki,...k->...i", M, a)
+    # Full-f32 contraction: TPU's default matmul precision is bf16-grade,
+    # which visibly biases triangulated depths.
+    N = jnp.einsum("...ki,...kj->...ij", M, M, precision="highest")
+    b = -jnp.einsum("...ki,...k->...i", M, a, precision="highest")
     return linalg.solve3(N, b)
 
 

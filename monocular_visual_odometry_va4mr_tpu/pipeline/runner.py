@@ -33,6 +33,9 @@ class FrameRecord:
 class RunResult:
     records: List[FrameRecord]
     final_snapshot: Optional[Dict] = None
+    # Pose-graph-refined positions (len(records), 3), when the runner was
+    # asked to build one and at least one loop closure verified.
+    refined_positions: Optional[np.ndarray] = None
 
     @property
     def positions(self) -> np.ndarray:
@@ -59,6 +62,59 @@ def _record(frame: int, state: FrameState, wall_ms: float) -> FrameRecord:
         n_tracked=int(state.n_tracked),
         status=int(state.status),
         wall_ms=wall_ms,
+    )
+
+
+def _recent_step_len(records: List[FrameRecord], n: int = 6) -> Optional[float]:
+    """Median per-frame translation over the last tracked frames — the
+    velocity prior used to restore metric-consistent scale on re-bootstrap."""
+    good = [r for r in records if r.status == STATUS_TRACKING]
+    if len(good) < 3:
+        return None
+    ps = np.stack([r.T_WC[:3, 3] for r in good[-(n + 1):]])
+    d = np.linalg.norm(np.diff(ps, axis=0), axis=1)
+    d = d[d > 1e-9]
+    return float(np.median(d)) if len(d) else None
+
+
+def reanchor_state(fresh: FrameState, anchor_T_CW: np.ndarray,
+                   scale: float) -> FrameState:
+    """Express a fresh (re-)bootstrap state in the ORIGINAL world frame.
+
+    A re-bootstrap's world frame is its own first camera with unit-norm
+    baseline; composing only the pose (round-2 code) left the landmark map
+    in that local frame, so the very next PnP — which solves an absolute
+    pose in the map's frame — snapped the trajectory back to the local
+    frame at arbitrary scale (round-1/2 weak 'recovery loses metric scale').
+    Here every world-frame quantity is scaled by the velocity-prior
+    ``scale`` and transported through the anchor pose:
+
+      X_world = A^-1 * (s * X_local)          (landmarks)
+      T_CW_world = T_CW_local(s*t) @ A        (current + per-track anchors)
+
+    with A = extrinsics of the re-bootstrap's first frame in the original
+    world (approximated by the last tracked pose — the pose is held during
+    LOST frames, so A is exact up to the lost-gap motion).
+    """
+    import jax.numpy as jnp
+
+    A = np.asarray(anchor_T_CW, np.float64)
+    R_A = A[:3, :3]
+    t_A = A[:3, 3]
+
+    def compose(T_local):  # (..., 4, 4) extrinsics in the local frame
+        T = np.asarray(T_local, np.float64).copy()
+        T[..., :3, 3] *= scale
+        return (T @ A).astype(np.float32)
+
+    X = np.asarray(fresh.lm_xyz, np.float64) * scale
+    X_world = (X - t_A) @ R_A  # R_A^T (X - t_A), row-vector form
+
+    return fresh.replace(
+        T_CW=jnp.asarray(compose(fresh.T_CW)),
+        lm_xyz=jnp.asarray(X_world.astype(np.float32)),
+        lm_T_CW_first=jnp.asarray(compose(fresh.lm_T_CW_first)),
+        cand_T_CW_first=jnp.asarray(compose(fresh.cand_T_CW_first)),
     )
 
 
@@ -91,6 +147,8 @@ def run_sequence(
     ba_mesh=None,
     recover: bool = True,
     recover_after: int = 2,
+    posegraph: bool = False,
+    posegraph_every: int = 8,
 ) -> RunResult:
     """Run the full pipeline over an (index, image) iterable.
 
@@ -131,6 +189,13 @@ def run_sequence(
 
         ring = BARing(window=ba_window)
 
+    bank = None
+    if posegraph:
+        from .posegraph_runner import KeyframeBank
+
+        bank = KeyframeBank(vo, every=posegraph_every)
+        bank.maybe_add(len(records) - 1, idx1, state, np.asarray(img1))
+
     last_img = img1
     recent = [np.asarray(img1)]  # short frame history for re-bootstrap
     lost_streak = 0
@@ -144,9 +209,10 @@ def run_sequence(
             lost = int(state.status) != STATUS_TRACKING
             lost_streak = lost_streak + 1 if lost else 0
             if lost_streak >= recover_after and len(recent) >= bootstrap_stride:
-                # Re-bootstrap over the recent span and re-anchor the new
-                # (unit-scale) relative pose onto the last good global pose
-                # (the reference fail-stops here, VisualOdometryPipeLine.py:352).
+                # Re-bootstrap over the recent span, then transport the whole
+                # fresh state (pose AND map) into the original world frame at
+                # a velocity-prior scale — see reanchor_state (the reference
+                # fail-stops here, VisualOdometryPipeLine.py:352).
                 anchor = np.asarray(state.T_CW)
                 span = recent[-bootstrap_stride:]
                 fresh = vo.bootstrap(
@@ -154,14 +220,18 @@ def run_sequence(
                     intermediate=span[1:],
                 )
                 if int(fresh.status) == STATUS_TRACKING:
-                    T_rel = np.asarray(fresh.T_CW)
-                    state = fresh.replace(
-                        T_CW=jax.numpy.asarray(
-                            (T_rel @ anchor).astype(np.float32))
-                    )
+                    step_len = _recent_step_len(records)
+                    # The re-bootstrap pair spans bootstrap_stride frames.
+                    scale = (step_len * bootstrap_stride
+                             if step_len else 1.0)
+                    # Keep the fresh state's own frame counter: candidate
+                    # ages are relative to it (cand_first_frame was written
+                    # by the fresh bootstrap).
+                    state = reanchor_state(fresh, anchor, scale)
                     lost_streak = 0
                     if verbose:
-                        print(f"frame {idx}: re-bootstrapped after loss")
+                        print(f"frame {idx}: re-bootstrapped after loss "
+                              f"(scale {scale:.3f})")
 
         if ring is not None:
             ring.push(state)
@@ -172,6 +242,8 @@ def run_sequence(
         jax.block_until_ready(state.T_CW)
         wall = (time.perf_counter() - t0) * 1000
         records.append(_record(idx, state, wall))
+        if bank is not None:
+            bank.maybe_add(len(records) - 1, idx, state, np.asarray(img))
         last_img = img
         recent.append(np.asarray(img))
         if len(recent) > bootstrap_stride + 1:
@@ -187,4 +259,10 @@ def run_sequence(
 
             checkpoint.save(checkpoint_dir, state, idx)
 
-    return RunResult(records, final_snapshot=_snapshot(state, last_img))
+    refined = None
+    if bank is not None:
+        from .posegraph_runner import refine_trajectory
+
+        refined = refine_trajectory(records, bank, vo.cam, verbose=verbose)
+    return RunResult(records, final_snapshot=_snapshot(state, last_img),
+                     refined_positions=refined)

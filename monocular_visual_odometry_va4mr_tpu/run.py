@@ -43,6 +43,12 @@ def build_parser():
                         "(0 = off; new capability vs the reference)")
     p.add_argument("--ba-window", type=int, default=8,
                    help="number of recent frames in the BA window")
+    p.add_argument("--posegraph", action="store_true",
+                   help="collect keyframes + SIFT loop closures and refine "
+                        "the trajectory with pose-graph optimization "
+                        "(new capability vs the reference)")
+    p.add_argument("--posegraph-every", type=int, default=8,
+                   help="keyframe selection period (frames)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -125,6 +131,8 @@ def main(argv=None):
         resume_from=args.resume,
         ba_every=args.ba_every,
         ba_window=args.ba_window,
+        posegraph=args.posegraph,
+        posegraph_every=args.posegraph_every,
     )
 
     est = result.positions
@@ -138,6 +146,9 @@ def main(argv=None):
         gt_matched = np.stack([gt[r.frame] for r in result.records])
         ate = ate_rmse(est, gt_matched)
         print(f"ATE RMSE (Sim3-aligned): {ate:.3f} m")
+        if result.refined_positions is not None:
+            ate_pg = ate_rmse(result.refined_positions, gt_matched)
+            print(f"ATE RMSE after pose-graph refinement: {ate_pg:.3f} m")
 
     if args.metrics_json:
         with open(args.metrics_json, "w") as f:

@@ -136,6 +136,148 @@ class TestTriangulate:
         assert not np.any(promote & np.asarray(keep))
 
 
+def make_planar_scene(rng, n=100, noise=0.0):
+    """All points on one plane — the 8-point algorithm's degenerate case
+    (cv2.findEssentialMat's 5-point handles it, reference
+    VisualOdometryPipeLine.py:308)."""
+    gx = rng.uniform(-12, 12, n)
+    gy = rng.uniform(-4, 4, n)
+    X = np.stack([gx, gy, 20.0 + 0.25 * gx + 0.1 * gy], axis=1)
+    R = Rotation.from_euler("xyz", [1.0, -4.0, 0.5], degrees=True).as_matrix()
+    t = np.array([0.8, 0.05, 0.6])
+    uv0, _ = cv2.projectPoints(X, np.zeros(3), np.zeros(3),
+                               K.astype(np.float64), np.zeros(4))
+    rvec, _ = cv2.Rodrigues(R)
+    uv1, _ = cv2.projectPoints(X, rvec, t, K.astype(np.float64), np.zeros(4))
+    uv0 = uv0.squeeze(1) + rng.normal(0, noise, (n, 2))
+    uv1 = uv1.squeeze(1) + rng.normal(0, noise, (n, 2))
+    return X, R, t, uv0.astype(np.float32), uv1.astype(np.float32)
+
+
+class TestFivePoint:
+    """Oracle tests for the Nistér 5-point minimal solver
+    (ops/essential5.py; the solver cv2.findEssentialMat runs internally)."""
+
+    def _normalize(self, uv):
+        Kinv = np.linalg.inv(K.astype(np.float64))
+        h = np.concatenate([uv, np.ones((len(uv), 1))], axis=1)
+        x = h @ Kinv.T
+        return (x[:, :2] / x[:, 2:3]).astype(np.float32)
+
+    def test_exact_minimal_sample(self, rng):
+        from monocular_visual_odometry_va4mr_tpu.ops import essential5
+
+        bests = []
+        for trial in range(8):
+            X, R, t, uv0, uv1 = make_scene(rng, 40, noise=0.0)
+            x0 = self._normalize(uv0)
+            x1 = self._normalize(uv1)
+            Es, valid = essential5.five_point_essentials(
+                jnp.asarray(x0[:5]), jnp.asarray(x1[:5]))
+            Es = np.asarray(Es)
+            valid = np.asarray(valid)
+            assert valid.any()
+            E_true = np.cross(np.eye(3), t / np.linalg.norm(t)) @ R
+            E_true /= np.linalg.norm(E_true)
+            # At least one of the (up to) 10 solutions must match the true
+            # geometry AND satisfy the epipolar constraint on held-out points.
+            h0 = np.concatenate([x0, np.ones((40, 1))], 1)
+            h1 = np.concatenate([x1, np.ones((40, 1))], 1)
+            best = np.inf
+            for E, v in zip(Es, valid):
+                if not v:
+                    continue
+                En = E / np.linalg.norm(E)
+                if np.sum(En * E_true) < 0:
+                    En = -En
+                resid = np.abs(np.einsum("ni,ij,nj->n", h1, En, h0))
+                best = min(best, max(np.abs(En - E_true).max(),
+                                     resid[5:].max()))
+            bests.append(best)
+        bests = np.sort(bests)
+        # f32 minimal solvers have occasional ill-conditioned samples — a
+        # near-degenerate 5-tuple genuinely under-determines E, and RANSAC's
+        # inlier scoring is what rejects those hypotheses.  Require most
+        # samples tight rather than all.
+        assert bests[5] < 5e-3, bests  # >= 6 of 8 within 5e-3
+        assert bests[6] < 5e-2, bests  # >= 7 of 8 reasonable
+
+    def test_essential_properties(self, rng):
+        from monocular_visual_odometry_va4mr_tpu.ops import essential5
+
+        X, R, t, uv0, uv1 = make_scene(rng, 5, noise=0.0)
+        x0 = self._normalize(uv0)
+        x1 = self._normalize(uv1)
+        Es, valid = essential5.five_point_essentials(
+            jnp.asarray(x0), jnp.asarray(x1))
+        h0 = np.concatenate([x0, np.ones((5, 1))], 1)
+        h1 = np.concatenate([x1, np.ones((5, 1))], 1)
+        n_checked = 0
+        for E, v in zip(np.asarray(Es), np.asarray(valid)):
+            if not v:
+                continue
+            n_checked += 1
+            # Every returned E: unit norm, rank 2, singular values (s, s, 0),
+            # epipolar constraint on the defining 5 points.
+            s = np.linalg.svd(E, compute_uv=False)
+            assert s[2] < 5e-3, s
+            np.testing.assert_allclose(s[0], s[1], atol=5e-3)
+            resid = np.abs(np.einsum("ni,ij,nj->n", h1, E, h0))
+            assert resid.max() < 2e-4, resid
+        assert n_checked >= 1
+
+    def test_planar_scene_ransac(self, rng):
+        """On a planar scene the 5-point RANSAC must recover the true pose;
+        cross-checked against the cv2.findEssentialMat oracle."""
+        X, R, t, uv0, uv1 = make_planar_scene(rng, 150, noise=0.0)
+        cam = Camera.from_matrix(K)
+        E, inl, ok = essential.find_essential_ransac(
+            jax.random.PRNGKey(2), cam, jnp.asarray(uv0), jnp.asarray(uv1),
+            jnp.ones(150, bool), iterations=300, threshold_px=1.0,
+            solver="5point",
+        )
+        assert bool(ok)
+        assert np.asarray(inl).sum() > 130
+        R_rec, t_rec, votes = essential.recover_pose(
+            E, cam, jnp.asarray(uv0), jnp.asarray(uv1), inl)
+        t_unit = t / np.linalg.norm(t)
+        np.testing.assert_allclose(np.asarray(R_rec), R, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(t_rec), t_unit, atol=5e-3)
+        # cv2 cross-check: planar scenes carry a two-fold E ambiguity, and
+        # cv2.findEssentialMat can return either member (its Sampson scoring
+        # cannot separate them; on this scene it picks the conjugate).  Our
+        # RANSAC breaks the tie by cheirality votes, so assert only that the
+        # cv2 solution explains the data, not that the poses agree.
+        E_cv, _ = cv2.findEssentialMat(uv0, uv1, K.astype(np.float64),
+                                       method=cv2.RANSAC, prob=0.99,
+                                       threshold=1.0)
+        F_cv = np.linalg.inv(K.astype(np.float64)).T @ E_cv @ np.linalg.inv(
+            K.astype(np.float64))
+        d2 = np.asarray(essential.sampson_distance_sq(
+            jnp.asarray(F_cv, jnp.float32), jnp.asarray(uv0),
+            jnp.asarray(uv1)))
+        assert (d2 < 1.0).sum() > 130
+
+    def test_planar_beats_8point(self, rng):
+        """Same planar scene: document WHY 5-point is the default — 8-point's
+        hypothesis bank is rank-deficient on planar data, so its recovered
+        rotation is (much) worse."""
+        X, R, t, uv0, uv1 = make_planar_scene(rng, 150, noise=0.05)
+        cam = Camera.from_matrix(K)
+        errs = {}
+        for solver in ("5point", "8point"):
+            E, inl, ok = essential.find_essential_ransac(
+                jax.random.PRNGKey(3), cam, jnp.asarray(uv0),
+                jnp.asarray(uv1), jnp.ones(150, bool), iterations=300,
+                threshold_px=1.0, solver=solver,
+            )
+            R_rec, t_rec, _ = essential.recover_pose(
+                E, cam, jnp.asarray(uv0), jnp.asarray(uv1), inl)
+            errs[solver] = np.abs(np.asarray(R_rec) - R).max()
+        assert errs["5point"] < 5e-3, errs
+        assert errs["5point"] <= errs["8point"], errs
+
+
 class TestEssential:
     def test_clean_correspondences(self, rng):
         X, R, t, uv0, uv1 = make_scene(rng, 200, noise=0.0)

@@ -65,3 +65,64 @@ class TestMultihost:
         assert mesh.devices.size >= 8
         m2 = multihost.grid_mesh(2, 4)
         assert m2.devices.shape == (2, 4)
+
+
+class TestTrajBA:
+    """Keyframe-axis trajectory BA with ppermute halo exchange
+    (parallel/traj_ba.py — SURVEY.md §2c SP/CP analog)."""
+
+    def test_converges_to_ground_truth(self):
+        from monocular_visual_odometry_va4mr_tpu.parallel import seq_dp, traj_ba
+
+        D, S, L = 4, 6, 96
+        noisy, gt, cam = traj_ba.build_synthetic_traj(D, S, L, seed=3)
+        mesh = seq_dp.make_mesh(D, "kf")
+        seg = traj_ba.shard_segments(noisy, mesh, "kf")
+        out, costs = traj_ba.run_traj_ba(seg, cam, mesh=mesh, axis="kf",
+                                         iters=12)
+        costs = np.asarray(costs)
+        assert costs[-1] < 0.05 * costs[0], costs
+        # Poses must approach ground truth (halo exchange propagates the
+        # anchor gauge through every segment).
+        t_err = np.linalg.norm(
+            np.asarray(out.T_CW)[:, :3, 3] - np.asarray(gt.T_CW)[:, :3, 3],
+            axis=1)
+        t0_err = np.linalg.norm(
+            np.asarray(noisy.T_CW)[:, :3, 3] - np.asarray(gt.T_CW)[:, :3, 3],
+            axis=1)
+        assert np.median(t_err) < 0.25 * np.median(t0_err), (
+            np.median(t_err), np.median(t0_err))
+
+    def test_matches_unsharded_blocks(self):
+        """One halo iteration must equal running backend.ba on each segment
+        window with frozen halo poses (the sharding is an execution detail,
+        not a different algorithm)."""
+        import jax.numpy as jnp
+
+        from monocular_visual_odometry_va4mr_tpu.backend import ba
+        from monocular_visual_odometry_va4mr_tpu.parallel import seq_dp, traj_ba
+
+        D, S, L = 2, 4, 64
+        noisy, gt, cam = traj_ba.build_synthetic_traj(D, S, L, seed=5)
+        mesh = seq_dp.make_mesh(D, "kf")
+        out, costs = traj_ba.run_traj_ba(
+            traj_ba.shard_segments(noisy, mesh, "kf"), cam, mesh=mesh,
+            axis="kf", iters=1, damping=1e-4)
+
+        # Reference: per-segment windows with the halo rows frozen.
+        T_ref = []
+        for d in range(D):
+            halo = (np.asarray(noisy.anchor_T_CW) if d == 0
+                    else np.asarray(noisy.T_CW[d * S - 2:d * S]))
+            win = ba.BAWindow(
+                T_CW=jnp.asarray(
+                    np.concatenate([halo,
+                                    np.asarray(noisy.T_CW[d * S:(d + 1) * S])])),
+                lm_xyz=noisy.lm_xyz[d * L:(d + 1) * L],
+                obs_uv=noisy.obs_uv[d],
+                obs_mask=noisy.obs_mask[d],
+            )
+            w_out, _ = ba.run_ba(win, cam, iters=1, n_fixed=2)
+            T_ref.append(np.asarray(w_out.T_CW[2:]))
+        np.testing.assert_allclose(np.asarray(out.T_CW),
+                                   np.concatenate(T_ref), atol=2e-4)
