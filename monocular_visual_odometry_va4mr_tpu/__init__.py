@@ -28,3 +28,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first compiles of the KITTI-resolution
+# graphs take many minutes through the remote-compile relay; caching them on
+# disk makes every subsequent process start in seconds.  Opt out with
+# MVO_NO_COMPILE_CACHE=1 (e.g. when bisecting compiler issues).
+import os as _os
+
+if not _os.environ.get("MVO_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ.get("MVO_COMPILE_CACHE_DIR",
+                                           "/tmp/mvo_jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -117,7 +117,8 @@ def detect_loops(bank: KeyframeBank, cam, *, min_gap_frames: int = 30,
 
 def refine_trajectory(records, bank: KeyframeBank, cam, *,
                       loop_weight: float = 3.0, iters: int = 15,
-                      min_gap_frames: int = 30,
+                      min_gap_frames: int = 30, min_matches: int = 40,
+                      min_inliers: int = 25,
                       verbose: bool = False) -> Optional[np.ndarray]:
     """Build the pose graph (odometry chain + verified loop edges), optimize,
     and return corrected (len(records), 3) positions — or None if no
@@ -131,7 +132,8 @@ def refine_trajectory(records, bank: KeyframeBank, cam, *,
     kfs = bank.keyframes
     if len(kfs) < 3:
         return None
-    loops = detect_loops(bank, cam, min_gap_frames=min_gap_frames)
+    loops = detect_loops(bank, cam, min_gap_frames=min_gap_frames,
+                         min_matches=min_matches, min_inliers=min_inliers)
     if verbose:
         print(f"posegraph: {len(kfs)} keyframes, {len(loops)} loop edges")
     T_nodes = jnp.asarray(np.stack([k.T_CW for k in kfs]), jnp.float32)

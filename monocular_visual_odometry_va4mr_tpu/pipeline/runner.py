@@ -149,6 +149,7 @@ def run_sequence(
     recover_after: int = 2,
     posegraph: bool = False,
     posegraph_every: int = 8,
+    on_frame=None,
 ) -> RunResult:
     """Run the full pipeline over an (index, image) iterable.
 
@@ -244,6 +245,10 @@ def run_sequence(
         records.append(_record(idx, state, wall))
         if bank is not None:
             bank.maybe_add(len(records) - 1, idx, state, np.asarray(img))
+        if on_frame is not None:
+            # Live observability hook (reference main.py:177-202 per-frame
+            # dashboard): receives (records, snapshot-of-current-state).
+            on_frame(records, _snapshot(state, np.asarray(img)))
         last_img = img
         recent.append(np.asarray(img))
         if len(recent) > bootstrap_stride + 1:

@@ -126,11 +126,30 @@ class VisualOdometry:
         template (= the destination window) passes the min-eig/residual gates
         — which rejects windows that slid onto low-texture regions, the
         failure mode an absolute photometric-residual gate cannot see.
+
+        Cost: the backward pass needs NO coarse-flow volume and no mid-level
+        chain — its prior is exactly the negated forward flow — so on the
+        Pallas path the FB check adds one single-level kernel call, not a
+        second full multilevel stack.
         """
         cfg = self.config.klt
         new_pts, ok, resid = self._track(prev_pyr, next_pyr, pts, valid)
         if cfg.fb_check:
-            back_pts, back_ok, _ = self._track(next_pyr, prev_pyr, new_pts, ok)
+            if self.klt_backend in ("pallas", "pallas2"):
+                fn = (klt_pallas2.track_features_pallas2
+                      if self.klt_backend == "pallas2"
+                      else klt_pallas.track_features_pallas)
+                back_pts, back_ok, _ = fn(
+                    next_pyr, prev_pyr, new_pts, ok,
+                    prior=pts - new_pts,
+                    num_iters=min(cfg.num_iters, 8),
+                    eps=cfg.eps,
+                    min_eig_threshold=cfg.min_eig_threshold,
+                    max_residual=cfg.max_residual,
+                )
+            else:
+                back_pts, back_ok, _ = self._track(next_pyr, prev_pyr,
+                                                   new_pts, ok)
             fb2 = jnp.sum((back_pts - pts) ** 2, axis=-1)
             ok = ok & back_ok & (fb2 < cfg.fb_max_err_px**2)
         return new_pts, ok, resid

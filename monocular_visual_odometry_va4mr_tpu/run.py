@@ -29,6 +29,12 @@ def build_parser():
                    help="override the preset bootstrap method")
     p.add_argument("--plot", default=None,
                    help="write the 2x2 dashboard PNG here at the end")
+    p.add_argument("--plot-live", action="store_true",
+                   help="update the dashboard EVERY frame (reference "
+                        "main.py:177-202 live mode; interactive backend if "
+                        "available, else periodic PNG to --plot)")
+    p.add_argument("--plot-every", type=int, default=1,
+                   help="with --plot-live on agg: save the PNG every N frames")
     p.add_argument("--metrics-json", default=None,
                    help="write per-frame metrics as JSON lines")
     p.add_argument("--seed", type=int, default=0)
@@ -122,10 +128,34 @@ def main(argv=None):
           f"klt={cfg.klt.backend} bootstrap={cfg.bootstrap_method}")
     vo = VisualOdometry(Camera.from_matrix(spec.K), cfg)
 
+    live = None
+    if args.plot_live:
+        from .viz.dashboard import LiveDashboard
+
+        live = LiveDashboard(
+            out_path=args.plot or "out/interface_plot.png",
+            gt_xz=spec.gt_xz if spec.gt_positions is not None else None,
+            max_dist=cfg.landmarks.max_dist,
+            save_every=args.plot_every,
+        )
+
+        def on_frame(records, snap):
+            live.update(
+                image=snap["image"],
+                inlier_uv=snap["inlier_uv"],
+                outlier_uv=snap["outlier_uv"],
+                trajectory=np.stack([r.T_WC[:3, 3] for r in records]),
+                landmark_xyz=snap["landmark_xyz"],
+                num_tracked=np.array([r.n_tracked for r in records]),
+                frame_index=records[-1].frame,
+            )
+    else:
+        on_frame = None
+
     stride = spec.bootstrap_frames[1] - spec.bootstrap_frames[0]
     result = run_sequence(
         vo, spec.frames(), seed=args.seed, bootstrap_stride=stride,
-        verbose=not args.quiet,
+        verbose=not args.quiet, on_frame=on_frame,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume,
@@ -176,7 +206,10 @@ def main(argv=None):
             outlier_uv=final["outlier_uv"],
             trajectory=est,
             landmark_xyz=final["landmark_xyz"],
-            num_tracked=np.array([r.n_inliers for r in result.records]),
+            # Pane (1,0): tracked-landmark counts (reference
+            # num_tracked_landmarks_list, VisualOdometryPipeLine.py:360-364),
+            # windowed to the last 20 inside the renderer.
+            num_tracked=np.array([r.n_tracked for r in result.records]),
             frame_index=result.records[-1].frame,
             out_path=args.plot,
             gt_xz=spec.gt_xz if gt is not None else None,

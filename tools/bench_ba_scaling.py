@@ -1,0 +1,141 @@
+"""BA scaling-efficiency harness (BASELINE.md north-star: >= 75% scaling).
+
+Times one Gauss-Newton iteration of the landmark-sharded window BA
+(parallel/ba_sharded.py) and of the keyframe-sharded trajectory BA
+(parallel/traj_ba.py) at 1/2/4/8 shards, and prints per-iteration wall time,
+speedup, efficiency, and the analytic communication volume.
+
+On this container only a virtual CPU mesh is available
+(XLA_FLAGS=--xla_force_host_platform_device_count); virtual devices SHARE
+host cores, so wall-clock "efficiency" there mostly measures collective +
+partitioning overhead, not real parallel speedup — the printed comm-volume
+model is the hardware-independent part.  Run with --weak to hold per-shard
+work constant (the regime the 75% target describes).
+
+Usage:
+  JAX_PLATFORMS=cpu python tools/bench_ba_scaling.py [--weak] [--iters 20]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time_fn(fn, *args, reps=10, warmup=2, **kw):
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_lm_sharded(shards, W, L_total, weak, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from monocular_visual_odometry_va4mr_tpu.backend import ba
+    from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
+    from monocular_visual_odometry_va4mr_tpu.parallel import ba_sharded, seq_dp
+
+    rows = []
+    base = None
+    for n in shards:
+        L = L_total * n if weak else L_total
+        rng = np.random.default_rng(0)
+        K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
+        X = np.stack([rng.uniform(-8, 8, L), rng.uniform(-2, 2, L),
+                      rng.uniform(5, 40, L)], 1)
+        T = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+        for i in range(W):
+            T[i, :3, 3] = [0.1 * i, 0.0, -0.4 * i]
+        obs = np.zeros((W, L, 2), np.float32)
+        for i in range(W):
+            Xc = X @ T[i, :3, :3].T + T[i, :3, 3]
+            obs[i, :, 0] = K[0, 0] * Xc[:, 0] / Xc[:, 2] + K[0, 2]
+            obs[i, :, 1] = K[1, 1] * Xc[:, 1] / Xc[:, 2] + K[1, 2]
+        window = ba.BAWindow(
+            T_CW=jnp.asarray(T),
+            lm_xyz=jnp.asarray(X + rng.normal(0, 0.05, X.shape), jnp.float32),
+            obs_uv=jnp.asarray(obs), obs_mask=jnp.ones((W, L), bool))
+        mesh = seq_dp.make_mesh(n, "lm")
+        sharded = ba_sharded.shard_window(window, mesh, "lm")
+        t = _time_fn(ba_sharded.run_ba_sharded, sharded,
+                     Camera.from_matrix(K), mesh=mesh, axis="lm",
+                     iters=iters) / iters
+        if base is None:
+            base = t
+        # Comm per iteration: psum of S (W,W,6,6) + rhs (W,6) + cost ().
+        comm = (W * W * 36 + W * 6 + 1) * 4
+        speed = base / t if not weak else base / t  # weak: ideal == 1.0
+        eff = speed if weak else speed / n
+        rows.append((n, L, t * 1e3, speed, eff, comm))
+    return rows
+
+
+def bench_kf_sharded(shards, S, L_seg, weak, iters):
+    from monocular_visual_odometry_va4mr_tpu.parallel import seq_dp, traj_ba
+
+    rows = []
+    base = None
+    for n in shards:
+        S_eff = S if weak else max(2, S * shards[0] // n)
+        noisy, _, cam = traj_ba.build_synthetic_traj(n, S_eff, L_seg, seed=1)
+        mesh = seq_dp.make_mesh(n, "kf")
+        seg = traj_ba.shard_segments(noisy, mesh, "kf")
+        t = _time_fn(traj_ba.run_traj_ba, seg, cam, mesh=mesh, axis="kf",
+                     iters=iters) / iters
+        if base is None:
+            base = t
+        comm = 2 * 16 * 4 + 4  # ppermute of (2,4,4) poses + cost psum
+        speed = base / t
+        eff = speed if weak else speed / n
+        rows.append((n, n * S_eff, t * 1e3, speed, eff, comm))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weak", action="store_true",
+                    help="hold PER-SHARD work constant (scale the problem)")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--landmarks", type=int, default=2048,
+                    help="landmarks per shard (weak) or total (strong)")
+    args = ap.parse_args()
+
+    import jax
+
+    shards = [1, 2, 4, 8]
+    shards = [s for s in shards if s <= len(jax.devices())]
+    print(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}; "
+          f"{'weak' if args.weak else 'strong'} scaling")
+
+    print("\n-- landmark-axis window BA (ba_sharded) --")
+    print("shards  L_total  ms/GN-iter  speedup  efficiency  comm/iter")
+    for n, L, ms, sp, eff, comm in bench_lm_sharded(
+            shards, args.window, args.landmarks, args.weak, args.iters):
+        print(f"{n:6d}  {L:7d}  {ms:10.2f}  {sp:7.2f}  {eff:10.2%}  "
+              f"{comm/1024:.1f} KiB")
+
+    print("\n-- keyframe-axis trajectory BA (traj_ba) --")
+    print("shards  kframes  ms/GN-iter  speedup  efficiency  comm/iter")
+    for n, kf, ms, sp, eff, comm in bench_kf_sharded(
+            shards, 8, 512, args.weak, args.iters):
+        print(f"{n:6d}  {kf:7d}  {ms:10.2f}  {sp:7.2f}  {eff:10.2%}  "
+              f"{comm/1024:.2f} KiB")
+
+
+if __name__ == "__main__":
+    main()

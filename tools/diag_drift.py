@@ -14,23 +14,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(backend="xla", frames=45, image_shape=(480, 640), stride=4,
-         quality=0.03, seed=11):
+         quality=0.03, seed=11, preset="parking"):
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
     from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
-    from monocular_visual_odometry_va4mr_tpu.core.config import parking_config
+    from monocular_visual_odometry_va4mr_tpu.core.config import PRESETS
     from monocular_visual_odometry_va4mr_tpu.dataio import synthetic
     from monocular_visual_odometry_va4mr_tpu.pipeline.vo import VisualOdometry
 
     scene = synthetic.make_textured_scene(seed=seed, num_frames=frames,
                                           image_shape=image_shape, step=1.0)
-    imgs = [scene.render(i) for i in range(frames)]
+    tag = f"textured-s{seed}-f{frames}-{image_shape[0]}x{image_shape[1]}"
+    imgs = synthetic.render_all_cached(scene, tag)
 
-    cfg = parking_config().replace(image_shape=image_shape,
-                                   bootstrap_method="klt")
+    cfg = PRESETS[preset]().replace(image_shape=image_shape,
+                                    bootstrap_method="klt")
     cfg = cfg.replace(
         klt=dataclasses.replace(cfg.klt, backend=backend),
         detector=dataclasses.replace(cfg.detector, quality_level=quality))
@@ -101,5 +102,9 @@ if __name__ == "__main__":
     ap.add_argument("--backend", default="xla")
     ap.add_argument("--frames", type=int, default=45)
     ap.add_argument("--stride", type=int, default=4)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--preset", default="parking")
     a = ap.parse_args()
-    main(backend=a.backend, frames=a.frames, stride=a.stride)
+    main(backend=a.backend, frames=a.frames, stride=a.stride,
+         image_shape=(a.height, a.width), preset=a.preset)

@@ -59,17 +59,17 @@ def main():
     cfg = PRESETS[args.dataset]().replace(bootstrap_method="klt")
     H, W = cfg.image_shape
     n_frames = max(args.frames, 12)
-    scene = synthetic.make_corridor_scene(
-        seed=11, num_frames=n_frames, num_points=int((n_frames + 60) * 75),
-        image_shape=(H, W), step=1.0)
-    frames = [jnp.asarray(synthetic.render_frame(scene, i), jnp.float32)
-              for i in range(n_frames)]
+    scene = synthetic.make_textured_scene(
+        seed=11, num_frames=n_frames, image_shape=(H, W), step=1.0)
+    tag = f"textured-s11-f{n_frames}-{H}x{W}"
+    frames = [jnp.asarray(f, jnp.float32)
+              for f in synthetic.render_all_cached(scene, tag)]
     cam = Camera.from_matrix(scene.K)
     vo = VisualOdometry(cam, cfg)
     key = jax.random.PRNGKey(0)
 
-    state = vo.bootstrap(frames[0], frames[6], key, intermediate=frames[1:6])
-    for i in range(7, 10):
+    state = vo.bootstrap(frames[0], frames[4], key, intermediate=frames[1:4])
+    for i in range(5, 10):
         state = vo.step(state, frames[i], jax.random.fold_in(key, i))
     jax.block_until_ready(state.T_CW)
     img = frames[10]
@@ -100,6 +100,11 @@ def main():
         vo._track))
     rows.append(("klt/total", timeit(f_klt, state.prev_pyramid, pyr,
                                      all_pts, all_valid)))
+
+    # -- stage: KLT + forward-backward gate (what the step actually runs) --
+    f_klt_fb = jax.jit(vo._track_fb)
+    rows.append(("klt/total+fb", timeit(f_klt_fb, state.prev_pyramid, pyr,
+                                        all_pts, all_valid)))
     new_pts, tracked, _ = f_klt(state.prev_pyramid, pyr, all_pts, all_valid)
     K = cfg.capacity.max_landmarks
     lm_uv, lm_valid = new_pts[:K], tracked[:K]
@@ -127,6 +132,17 @@ def main():
     rows.append(("triangulate", timeit(
         f_tri, vo.cam, state.cand_first_uv, cand_uv, state.cand_T_CW_first,
         T_CW, cand_valid, age)))
+
+    # -- stage: landmark re-triangulation (sliding anchors) --
+    f_re = jax.jit(functools.partial(
+        triangulate.triangulate_candidates,
+        min_baseline_frames=cfg.landmarks.min_baseline_frames,
+        min_baseline_angle_deg=cfg.landmarks.min_baseline_angle_deg,
+        min_dist=cfg.landmarks.min_dist,
+        max_dist=cfg.landmarks.max_dist, enforce_age=False))
+    rows.append(("lm_retriangulate", timeit(
+        f_re, vo.cam, state.lm_first_uv, lm_uv, state.lm_T_CW_first,
+        T_CW, lm_valid, jnp.zeros_like(state.lm_anchor_age))))
 
     # -- stage: corner detection --
     det = cfg.detector
