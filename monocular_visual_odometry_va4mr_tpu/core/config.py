@@ -129,6 +129,26 @@ class SiftConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class InStepBAConfig:
+    """Windowed bundle adjustment FUSED INTO the compiled per-frame step.
+
+    The observation ring (last ``window`` frames' poses + landmark pixel
+    observations) lives in FrameState, and every ``every`` frames the step
+    runs ``iters`` Schur-complement GN iterations in-graph under
+    ``lax.cond`` — so the lax.scan whole-sequence driver gets BA-refined
+    trajectories with zero host round-trips (the host-side
+    pipeline/ba_refine.py path remains for the mesh-sharded variant).
+    New capability vs the reference (BASELINE.json north star).
+    """
+
+    every: int = 0  # 0 = off
+    window: int = 10  # ring length (frames)
+    iters: int = 2  # GN iterations per trigger
+    huber_px: float = 3.0
+    min_obs: int = 3  # landmark must appear in >= this many window rows
+
+
+@dataclasses.dataclass(frozen=True)
 class CapacityConfig:
     """Static table sizes for the slotted state (SURVEY.md §7).
 
@@ -149,6 +169,7 @@ class PipelineConfig:
     pnp: PnPConfig = PnPConfig()
     essential: EssentialConfig = EssentialConfig()
     sift: SiftConfig = SiftConfig()
+    ba: InStepBAConfig = InStepBAConfig()
     capacity: CapacityConfig = CapacityConfig()
     image_shape: Tuple[int, int] = (376, 1241)  # (H, W), static per dataset
     # "sift": SIFT detect + ratio-test matching between the bootstrap frames

@@ -69,6 +69,12 @@ class FrameState:
     cand_first_frame: jnp.ndarray  # (M,) int32 frame index of first observation
     cand_valid: jnp.ndarray  # (M,) bool
 
+    # --- in-step BA observation ring (InStepBAConfig; length 1 when off) ---
+    ba_T: jnp.ndarray  # (Wb,4,4) ring of extrinsics
+    ba_uv: jnp.ndarray  # (Wb,K,2) ring of landmark observations
+    ba_mask: jnp.ndarray  # (Wb,K) bool
+    ba_gen: jnp.ndarray  # (Wb,K) int32 slot generation at observation time
+
     # --- previous-frame pyramid for KLT (reference ``potential_frame``) ---
     prev_pyramid: Tuple[jnp.ndarray, ...]  # tuple of (H/2^l, W/2^l) f32
 
@@ -99,6 +105,14 @@ def init_state(config: PipelineConfig, pyramid: Tuple[jnp.ndarray, ...]) -> Fram
         cand_T_CW_first=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (M, 1, 1)),
         cand_first_frame=jnp.zeros((M,), jnp.int32),
         cand_valid=jnp.zeros((M,), bool),
+        ba_T=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                      (max(1, config.ba.window if config.ba.every else 1), 1, 1)),
+        ba_uv=jnp.zeros((max(1, config.ba.window if config.ba.every else 1),
+                         K, 2), jnp.float32),
+        ba_mask=jnp.zeros((max(1, config.ba.window if config.ba.every else 1),
+                           K), bool),
+        ba_gen=jnp.zeros((max(1, config.ba.window if config.ba.every else 1),
+                          K), jnp.int32),
         prev_pyramid=pyramid,
         status=jnp.zeros((), jnp.int32),
         n_inliers=jnp.zeros((), jnp.int32),

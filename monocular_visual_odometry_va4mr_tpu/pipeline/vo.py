@@ -356,6 +356,53 @@ class VisualOdometry:
         n_inl = jnp.sum(pnp_inliers & lm_valid).astype(jnp.int32)
         status = jnp.where(pnp_ok, STATUS_TRACKING, STATUS_LOST).astype(jnp.int32)
 
+        # (5) In-step windowed BA (InStepBAConfig): push this frame's
+        # observations into the ring; every `every` frames run Schur GN over
+        # the window IN-GRAPH and fold refined poses/landmarks back.  The
+        # whole branch sits under lax.cond so the scan driver gets a
+        # BA-refined trajectory with zero host round-trips.
+        ba_T, ba_uv, ba_mask, ba_gen = (state.ba_T, state.ba_uv,
+                                        state.ba_mask, state.ba_gen)
+        if cfg.ba.every:
+            from ..backend import ba as ba_mod
+
+            Wb = cfg.ba.window
+            new_frame = state.frame_idx + 1
+            slot = jnp.mod(new_frame, Wb)
+            ba_T = ba_T.at[slot].set(T_CW)
+            ba_uv = ba_uv.at[slot].set(lm_uv)
+            ba_mask = ba_mask.at[slot].set(lm_valid_new)
+            ba_gen = ba_gen.at[slot].set(lm_gen)
+
+            def run_ba_branch(args):
+                ba_T, lm_xyz_in = args
+                # Ring -> window ordered oldest..newest.
+                order = jnp.mod(slot + 1 + jnp.arange(Wb), Wb)
+                Tw = ba_T[order]
+                uvw = ba_uv[order]
+                mw = ba_mask[order] & (ba_gen[order] == lm_gen[None, :])
+                n_obs = jnp.sum(mw, axis=0)
+                part = (n_obs >= cfg.ba.min_obs) & lm_valid_new
+                mw = mw & part[None, :]
+                win = ba_mod.BAWindow(T_CW=Tw, lm_xyz=lm_xyz_in,
+                                      obs_uv=uvw, obs_mask=mw)
+                out, _ = ba_mod.run_ba(win, self.cam, iters=cfg.ba.iters,
+                                       huber_px=cfg.ba.huber_px, n_fixed=2)
+                lm_out = jnp.where(part[:, None], out.lm_xyz, lm_xyz_in)
+                ba_T_out = ba_T.at[order].set(out.T_CW)
+                return ba_T_out, lm_out, out.T_CW[-1]
+
+            def skip_branch(args):
+                ba_T, lm_xyz_in = args
+                return ba_T, lm_xyz_in, T_CW
+
+            # Only with a FULL ring (otherwise the frozen gauge rows would
+            # be unfilled identity poses) and on the trigger cadence.
+            do_it = pnp_ok & (new_frame >= Wb) & (
+                jnp.mod(new_frame, cfg.ba.every) == 0)
+            ba_T, lm_xyz, T_CW = jax.lax.cond(
+                do_it, run_ba_branch, skip_branch, (ba_T, lm_xyz))
+
         return state.replace(
             frame_idx=state.frame_idx + 1,
             T_CW=T_CW,
@@ -372,6 +419,10 @@ class VisualOdometry:
             cand_T_CW_first=cand_T_CW_first,
             cand_first_frame=cand_first_frame,
             cand_valid=cand_valid,
+            ba_T=ba_T,
+            ba_uv=ba_uv,
+            ba_mask=ba_mask,
+            ba_gen=ba_gen,
             prev_pyramid=pyr,
             status=status,
             n_inliers=n_inl,

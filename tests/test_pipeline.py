@@ -236,3 +236,54 @@ class TestRecovery:
         # pre-loss position (the camera moved only a few frames).
         jump = np.linalg.norm(pos[post[0]] - pos[pre[-1]])
         assert jump < 10 * np.median(pre_steps) * (post[0] - pre[-1] + 1), jump
+
+
+class TestInStepBA:
+    def test_in_step_ba_runs_and_helps(self, scene):
+        """Windowed BA fused into the compiled step (InStepBAConfig): the
+        jitted step triggers GN in-graph under lax.cond, stays healthy, and
+        does not hurt accuracy (new capability vs the reference)."""
+        import dataclasses
+
+        from monocular_visual_odometry_va4mr_tpu.core.config import (
+            InStepBAConfig)
+
+        cfg = small_config(scene.image_shape)
+        cam = Camera.from_matrix(scene.K)
+
+        res_plain = run_sequence(VisualOdometry(cam, cfg),
+                                 synthetic.render_sequence(scene),
+                                 bootstrap_stride=2)
+        cfg_ba = cfg.replace(ba=InStepBAConfig(every=2, window=6, iters=2))
+        res_ba = run_sequence(VisualOdometry(cam, cfg_ba),
+                              synthetic.render_sequence(scene),
+                              bootstrap_stride=2)
+        assert res_ba.num_lost() == 0
+        gt = np.stack([scene.poses_WC[r.frame][:3, 3] for r in res_ba.records])
+        ate_ba = ate_rmse(res_ba.positions, gt)
+        ate_plain = ate_rmse(res_plain.positions, gt)
+        assert ate_ba < max(ate_plain * 1.5, 0.15), (ate_ba, ate_plain)
+
+    def test_in_step_ba_in_scan(self, scene):
+        """The BA-fused step must also run under lax.scan (the bench path)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from monocular_visual_odometry_va4mr_tpu.core.config import (
+            InStepBAConfig)
+        from monocular_visual_odometry_va4mr_tpu.pipeline import scan_driver
+
+        cfg = small_config(scene.image_shape).replace(
+            ba=InStepBAConfig(every=3, window=5, iters=1))
+        vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
+        key = jax.random.PRNGKey(0)
+        frames = [synthetic.render_frame(scene, i) for i in range(12)]
+        state = vo.bootstrap(frames[0], frames[2], jax.random.fold_in(key, 0),
+                             intermediate=frames[1:2])
+        images = jnp.asarray(np.stack(frames[3:12]), jnp.float32)
+        keys = jnp.stack([jax.random.fold_in(key, i) for i in range(3, 12)])
+        final, outs = scan_driver.run_block(vo, state, images, keys)
+        assert np.all(np.asarray(outs.status) == 0)
+        assert np.all(np.isfinite(np.asarray(outs.T_CW)))

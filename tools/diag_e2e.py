@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run(scene_kind: str, backend: str, num_frames: int, image_shape,
         bootstrap_stride: int = 4, verbose: bool = True, seed: int = 11,
         recover: bool = True, quality: float = None, fb: float = None,
-        preset: str = "parking"):
+        preset: str = "parking", ba_every: int = 0, ba_window: int = 8):
     import jax
 
     from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
@@ -61,7 +61,8 @@ def run(scene_kind: str, backend: str, num_frames: int, image_shape,
 
     result = runner.run_sequence(
         vo, ((i, f) for i, f in enumerate(frames)),
-        bootstrap_stride=bootstrap_stride, verbose=verbose, recover=recover)
+        bootstrap_stride=bootstrap_stride, verbose=verbose, recover=recover,
+        ba_every=ba_every, ba_window=ba_window)
 
     est = result.positions
     gt = scene.poses_WC[[r.frame for r in result.records], :3, 3]
@@ -92,8 +93,10 @@ if __name__ == "__main__":
     ap.add_argument("--quality", type=float, default=None)
     ap.add_argument("--fb", type=float, default=None)
     ap.add_argument("--preset", default="parking")
+    ap.add_argument("--ba-every", type=int, default=0)
+    ap.add_argument("--ba-window", type=int, default=8)
     a = ap.parse_args()
     run(a.scene, a.backend, a.frames, (a.height, a.width),
         bootstrap_stride=a.stride, verbose=not a.quiet, seed=a.seed,
         recover=not a.no_recover, quality=a.quality, fb=a.fb,
-        preset=a.preset)
+        preset=a.preset, ba_every=a.ba_every, ba_window=a.ba_window)
