@@ -80,8 +80,20 @@ def _residuals_and_jacobians(window: BAWindow, cam: Camera,
     Jc = Jproj @ Jxi  # (W,L,2,6)
     Jp = jnp.einsum("wlab,wbc->wlac", Jproj, R)  # d(Xc)/dX = R
 
-    # Behind-camera observations are invalid regardless of the mask.
-    valid = window.obs_mask & (z > 1e-3)
+    # Behind-camera and non-finite observations are invalid regardless of
+    # the mask.  The finiteness guard is load-bearing: INVALID landmark
+    # slots can hold Inf/NaN garbage (the slotted state never clears dead
+    # rows), and a masked weight alone does not save the reductions —
+    # 0 * NaN = NaN poisons the einsum sums.  The residual and Jacobians of
+    # every invalid observation are therefore hard-zeroed, not just
+    # zero-weighted.  (Measured on-chip: without this, one garbage row
+    # NaN'd the whole Schur system at bench frame 63.)
+    finite = (jnp.all(jnp.isfinite(Xc), -1)
+              & jnp.all(jnp.isfinite(window.obs_uv), -1))
+    valid = window.obs_mask & (z > 1e-3) & finite
+    r = jnp.where(valid[..., None], r, 0.0)
+    Jc = jnp.where(valid[..., None, None], Jc, 0.0)
+    Jp = jnp.where(valid[..., None, None], Jp, 0.0)
     rnorm = jnp.linalg.norm(r, axis=-1)
     huber = jnp.where(rnorm <= huber_px, 1.0, huber_px / jnp.maximum(rnorm, 1e-9))
     w = jnp.where(valid, huber, 0.0)
@@ -162,7 +174,12 @@ def run_ba(window: BAWindow, cam: Camera, *, iters: int = 5,
         new_window = apply_updates(iter_window, delta_c, Hpp_inv, Hcp, b_p)
         return new_window, cost
 
-    return jax.lax.scan(one, window, None, length=iters)
+    # TPU dots default to bf16; the GN normal equations (squared Jacobians,
+    # Schur complement, dense solve) are numerically unsalvageable there —
+    # on-chip this produced NaN trajectories while CPU f32 converged.  Force
+    # full f32 for every einsum/solve in the BA graph.
+    with jax.default_matmul_precision("float32"):
+        return jax.lax.scan(one, window, None, length=iters)
 
 
 def reprojection_rms(window: BAWindow, cam: Camera) -> jnp.ndarray:

@@ -125,6 +125,7 @@ class SiftConfig:
     contrast_threshold: float = 0.04
     edge_threshold: float = 10.0
     sigma: float = 1.6
+    first_octave: int = -1  # -1: 2x upsampled first octave (cv2 default)
     ratio: float = 0.8  # Lowe ratio test, 'feature_ratio' (main.py:28)
 
 
@@ -146,6 +147,12 @@ class InStepBAConfig:
     iters: int = 2  # GN iterations per trigger
     huber_px: float = 3.0
     min_obs: int = 3  # landmark must appear in >= this many window rows
+    # The window problem is COMPACTED to the top-`max_landmarks` eligible
+    # landmarks (by window observation count) before the GN solve: Schur
+    # cost is linear in L, and running the full max_landmarks-capacity
+    # tables (mostly masked-out columns) through the solver wastes MXU
+    # work.  0 = no compaction (solve at full table capacity).
+    max_landmarks: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

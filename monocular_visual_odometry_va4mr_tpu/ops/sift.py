@@ -8,11 +8,15 @@ latency: the dense scale-space / extrema stages are pure dense XLA; the
 orientation and descriptor stages batch-gather fixed windows per keypoint
 (acceptable at bootstrap frequency).
 
-Deviations from OpenCV (documented, tested for match quality rather than
-bit parity):
-  * no initial 2x upsampling (cv2's firstOctave=-1) — fewer tiny keypoints;
-  * a single secondary orientation is not emitted (dominant peak only);
-  * one Newton step of subpixel refinement (no iterative re-localization).
+Fidelity vs OpenCV (tested for match quality rather than bit parity):
+  * initial 2x upsampled octave (cv2's firstOctave=-1) — ``first_octave=-1``
+    default, matching cv2.SIFT_create()'s default;
+  * orientation/descriptor sampled from the Gaussian level nearest each
+    keypoint's refined scale (cv2 semantics), not a shared mid-octave image;
+  * secondary orientations: histogram peaks >= 0.8x the dominant peak emit a
+    second keypoint at the same location (cv2 behavior, up to one extra);
+  * one Newton step of subpixel refinement (cv2 iterates up to 5x; one step
+    is within the match-quality tolerance the oracle tests enforce).
 """
 from __future__ import annotations
 
@@ -37,10 +41,24 @@ class SiftFeatures(NamedTuple):
     valid: jnp.ndarray  # (K,) bool
 
 
-def _scale_space(img: jnp.ndarray, num_octaves: int, s: int, sigma0: float):
-    """Gaussian pyramid: per octave, s+3 levels with sigma0 * 2^(l/s)."""
+def _scale_space(img: jnp.ndarray, num_octaves: int, s: int, sigma0: float,
+                 first_octave: int = 0):
+    """Gaussian pyramid: per octave, s+3 levels with sigma0 * 2^(l/s).
+
+    ``first_octave=-1`` prepends a 2x bilinearly-upsampled octave (cv2's
+    default firstOctave=-1): the input's assumed blur 0.5 becomes 1.0 after
+    upsampling, so less extra blur is needed to reach sigma0.
+    """
+    if first_octave == -1:
+        H, W = img.shape
+        img = jax.image.resize(img, (2 * H, 2 * W), "linear")
+        base_blur = 1.0
+        num_octaves += 1
+    else:
+        base_blur = 0.5
     octaves = []
-    base = imops.gaussian_blur(img, math.sqrt(max(sigma0**2 - 0.25, 0.01)))
+    base = imops.gaussian_blur(
+        img, math.sqrt(max(sigma0**2 - base_blur**2, 0.01)))
     k = 2.0 ** (1.0 / s)
     for o in range(num_octaves):
         levels = [base]
@@ -142,9 +160,12 @@ def _orientation_and_descriptor(gauss: jnp.ndarray, xy: jnp.ndarray,
                                 sigma_lvl: jnp.ndarray, valid: jnp.ndarray):
     """Dominant orientation + 4x4x8 descriptor for keypoints of ONE octave.
 
-    gauss: (H, W) the Gaussian image nearest each keypoint's scale (we use a
-    shared mid-octave image — a documented approximation).
+    gauss: (H, W) the Gaussian image nearest each keypoint's scale.
     xy: (K, 2) octave coords; sigma_lvl: (K,) sigma in octave pixels.
+
+    Returns (theta1, theta2, has2, desc1, desc2): dominant + secondary
+    orientation (cv2 emits an extra keypoint for every histogram peak
+    >= 0.8x the dominant; we emit at most one) and a descriptor for each.
     """
     gx, gy = imops.central_gradients(gauss)
     mag = jnp.sqrt(gx * gx + gy * gy)
@@ -152,6 +173,15 @@ def _orientation_and_descriptor(gauss: jnp.ndarray, xy: jnp.ndarray,
 
     R = 8  # half-window in "unit" grid; samples scaled by sigma
     grid = imops.window_coords(2 * R + 1)  # (289, 2) offsets in [-8, 8]
+
+    def peak_theta(hist, b):
+        # Parabolic peak interpolation around bin b.
+        c0 = hist[(b - 1) % 36]
+        c1 = hist[b]
+        c2 = hist[(b + 1) % 36]
+        denom = c0 - 2 * c1 + c2
+        off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (c0 - c2) / denom, 0.0)
+        return ((b + off) / 36.0) * 2 * jnp.pi - jnp.pi
 
     def one_orientation(p, sig):
         coords = p[None, :] + grid * (0.75 * sig)
@@ -164,16 +194,17 @@ def _orientation_and_descriptor(gauss: jnp.ndarray, xy: jnp.ndarray,
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         b = jnp.argmax(hist)
-        # Parabolic peak interpolation.
-        c0 = hist[(b - 1) % 36]
-        c1 = hist[b]
-        c2 = hist[(b + 1) % 36]
-        denom = c0 - 2 * c1 + c2
-        off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (c0 - c2) / denom, 0.0)
-        theta = ((b + off) / 36.0) * 2 * jnp.pi - jnp.pi
-        return theta
+        theta1 = peak_theta(hist, b)
+        # Secondary: largest OTHER local max >= 0.8x the dominant peak.
+        is_peak = (hist > jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+        others = jnp.where(
+            is_peak & (jnp.arange(36) != b), hist, -jnp.inf)
+        b2 = jnp.argmax(others)
+        has2 = others[b2] >= 0.8 * hist[b]
+        theta2 = peak_theta(hist, b2)
+        return theta1, theta2, has2
 
-    thetas = jax.vmap(one_orientation)(xy, sigma_lvl)
+    thetas, thetas2, has2 = jax.vmap(one_orientation)(xy, sigma_lvl)
 
     # Descriptor: 16x16 samples in the rotated frame, 4x4 cells x 8 bins.
     D = 16
@@ -219,13 +250,38 @@ def _orientation_and_descriptor(gauss: jnp.ndarray, xy: jnp.ndarray,
         return v
 
     descs = jax.vmap(one_desc)(xy, sigma_lvl, thetas)
-    return thetas, descs
+    descs2 = jax.vmap(one_desc)(xy, sigma_lvl, thetas2)
+    return thetas, thetas2, has2, descs, descs2
+
+
+def _orientation_and_descriptor_multi(levels, xy, level_f, sigma_lvl, s):
+    """Per-keypoint nearest-scale Gaussian selection (cv2 semantics).
+
+    Runs the orientation+descriptor stage against each interior Gaussian
+    level and gathers, per keypoint, the result from the level nearest its
+    refined DoG level.  Dense per-level compute keeps shapes static (the
+    per-keypoint alternative — a dynamic (H, W) slice gather per keypoint —
+    would blow HBM); SIFT runs only at bootstrap so the s-fold cost is off
+    the steady-state path.
+    """
+    li = jnp.clip(jnp.round(level_f).astype(jnp.int32), 1, s)
+    parts = [_orientation_and_descriptor(levels[l], xy, sigma_lvl, None)
+             for l in range(1, s + 1)]
+    stacked = [jnp.stack([p[i] for p in parts]) for i in range(5)]
+    sel = li - 1  # (K,) index into the stacked level axis
+
+    def pick(arr):
+        idx = sel.reshape((-1,) + (1,) * (arr.ndim - 2))
+        return jnp.take_along_axis(arr, idx[None], axis=0)[0]
+
+    return tuple(pick(a) for a in stacked)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_features", "num_octaves", "scales_per_octave",
-                     "contrast_threshold", "edge_threshold", "sigma"),
+                     "contrast_threshold", "edge_threshold", "sigma",
+                     "first_octave"),
 )
 def detect_and_compute(
     img: jnp.ndarray,
@@ -236,11 +292,12 @@ def detect_and_compute(
     contrast_threshold: float = 0.04,
     edge_threshold: float = 10.0,
     sigma: float = 1.6,
+    first_octave: int = -1,
 ) -> SiftFeatures:
     """SIFT keypoints + descriptors with fixed output shapes."""
     img = img.astype(jnp.float32) / 255.0
     s = scales_per_octave
-    octaves = _scale_space(img, num_octaves, s, sigma)
+    octaves = _scale_space(img, num_octaves, s, sigma, first_octave)
 
     per_octave = max_features // 2
     all_parts = []
@@ -250,12 +307,20 @@ def detect_and_compute(
             dogs, s, contrast_threshold, edge_threshold, per_octave
         )
         sigma_lvl = sigma * (2.0 ** (level_f / s))  # octave pixels
-        theta, desc = _orientation_and_descriptor(
-            levels[2], xy, sigma_lvl, valid
+        theta, theta2, has2, desc, desc2 = _orientation_and_descriptor_multi(
+            levels, xy, level_f, sigma_lvl, s
         )
-        factor = float(2**o)
+        factor = float(2 ** (o + first_octave))
         all_parts.append(
             (xy * factor, sigma_lvl * factor, theta, score, desc, valid)
+        )
+        # Secondary-orientation keypoints (same location/scale/score; cv2
+        # emits them as separate keypoints).  Scored epsilon lower so the
+        # global top-K prefers dominant orientations under budget pressure.
+        all_parts.append(
+            (xy * factor, sigma_lvl * factor, theta2,
+             jnp.where(has2, score * (1.0 - 1e-6), 0.0), desc2,
+             valid & has2)
         )
 
     uv = jnp.concatenate([p[0] for p in all_parts])

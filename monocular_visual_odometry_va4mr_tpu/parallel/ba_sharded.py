@@ -86,7 +86,10 @@ def run_ba_sharded(
         out_specs=(P(), P(axis), P()),
         check_vma=False,
     )
-    T_CW, lm_xyz, costs = mapped(
-        window.T_CW, window.lm_xyz, window.obs_uv, window.obs_mask
-    )
+    # GN normal equations need true f32 accumulation (TPU dots default to
+    # bf16-grade precision, which NaNs the Schur solve — see backend/ba.py).
+    with jax.default_matmul_precision("float32"):
+        T_CW, lm_xyz, costs = mapped(
+            window.T_CW, window.lm_xyz, window.obs_uv, window.obs_mask
+        )
     return window._replace(T_CW=T_CW, lm_xyz=lm_xyz), costs

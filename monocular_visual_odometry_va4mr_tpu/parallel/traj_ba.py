@@ -126,8 +126,11 @@ def run_traj_ba(
         out_specs=(P(axis), P(axis), P()),
         check_vma=False,
     )
-    T_CW, lm_xyz, costs = mapped(
-        seg.anchor_T_CW, seg.T_CW, seg.lm_xyz, seg.obs_uv, seg.obs_mask)
+    # Full-f32 dots: the GN/Schur math diverges at TPU default (bf16-grade)
+    # matmul precision — see backend/ba.py run_ba.
+    with jax.default_matmul_precision("float32"):
+        T_CW, lm_xyz, costs = mapped(
+            seg.anchor_T_CW, seg.T_CW, seg.lm_xyz, seg.obs_uv, seg.obs_mask)
     return seg._replace(T_CW=T_CW, lm_xyz=lm_xyz), costs
 
 

@@ -61,6 +61,7 @@ class KeyframeBank:
             contrast_threshold=sc.contrast_threshold,
             edge_threshold=sc.edge_threshold,
             sigma=sc.sigma,
+            first_octave=sc.first_octave,
         )
         return (np.asarray(f.uv), np.asarray(f.desc), np.asarray(f.valid))
 

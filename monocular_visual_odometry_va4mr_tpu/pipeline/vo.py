@@ -383,12 +383,31 @@ class VisualOdometry:
                 mw = ba_mask[order] & (ba_gen[order] == lm_gen[None, :])
                 n_obs = jnp.sum(mw, axis=0)
                 part = (n_obs >= cfg.ba.min_obs) & lm_valid_new
-                mw = mw & part[None, :]
-                win = ba_mod.BAWindow(T_CW=Tw, lm_xyz=lm_xyz_in,
-                                      obs_uv=uvw, obs_mask=mw)
-                out, _ = ba_mod.run_ba(win, self.cam, iters=cfg.ba.iters,
-                                       huber_px=cfg.ba.huber_px, n_fixed=2)
-                lm_out = jnp.where(part[:, None], out.lm_xyz, lm_xyz_in)
+                Kba = cfg.ba.max_landmarks
+                if Kba and Kba < lm_xyz_in.shape[0]:
+                    # Compact to the best-observed Kba landmarks: Schur cost
+                    # is linear in L and the full-capacity tables are mostly
+                    # masked columns.
+                    _, sel = jax.lax.top_k(
+                        jnp.where(part, n_obs, -1), Kba)
+                    part_s = part[sel]
+                    win = ba_mod.BAWindow(
+                        T_CW=Tw, lm_xyz=lm_xyz_in[sel],
+                        obs_uv=uvw[:, sel], obs_mask=mw[:, sel] & part_s)
+                    out, _ = ba_mod.run_ba(
+                        win, self.cam, iters=cfg.ba.iters,
+                        huber_px=cfg.ba.huber_px, n_fixed=2)
+                    upd = jnp.where(part_s[:, None], out.lm_xyz,
+                                    lm_xyz_in[sel])
+                    lm_out = lm_xyz_in.at[sel].set(upd)
+                else:
+                    mw = mw & part[None, :]
+                    win = ba_mod.BAWindow(T_CW=Tw, lm_xyz=lm_xyz_in,
+                                          obs_uv=uvw, obs_mask=mw)
+                    out, _ = ba_mod.run_ba(win, self.cam, iters=cfg.ba.iters,
+                                           huber_px=cfg.ba.huber_px,
+                                           n_fixed=2)
+                    lm_out = jnp.where(part[:, None], out.lm_xyz, lm_xyz_in)
                 ba_T_out = ba_T.at[order].set(out.T_CW)
                 return ba_T_out, lm_out, out.T_CW[-1]
 
@@ -457,6 +476,7 @@ class VisualOdometry:
                 contrast_threshold=sc.contrast_threshold,
                 edge_threshold=sc.edge_threshold,
                 sigma=sc.sigma,
+                first_octave=sc.first_octave,
             )
             f0 = sift.detect_and_compute(img0, **kw)
             f1 = sift.detect_and_compute(img1, **kw)

@@ -1,0 +1,96 @@
+"""ATE/fps experiment harness on the bench scene (real chip).
+
+Runs the exact bench.py operating point with config overrides to measure
+which knobs close the accuracy gap to the reference (bench ATE bound).
+
+Run:  python tools/exp_ate.py ba4 ba2 base
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import bench
+
+
+def run_variant(name, scene, frames, mutate):
+    import jax
+    import jax.numpy as jnp
+
+    from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
+    from monocular_visual_odometry_va4mr_tpu.core.config import kitti_config
+    from monocular_visual_odometry_va4mr_tpu.pipeline import scan_driver
+    from monocular_visual_odometry_va4mr_tpu.pipeline.vo import VisualOdometry
+    from monocular_visual_odometry_va4mr_tpu.evalx import ate
+
+    cfg = kitti_config().replace(image_shape=scene.image_shape,
+                                 bootstrap_method="klt")
+    cfg = cfg.replace(
+        detector=dataclasses.replace(cfg.detector, quality_level=0.03))
+    cfg = mutate(cfg)
+    vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
+    key = jax.random.PRNGKey(0)
+
+    dev_frames = [jnp.asarray(f, jnp.float32) for f in frames]
+    b = bench.BOOTSTRAP_STRIDE
+    state = vo.bootstrap(dev_frames[0], dev_frames[b],
+                         jax.random.fold_in(key, 0),
+                         intermediate=dev_frames[1:b])
+    statuses = [int(state.status)]
+    poses = [np.asarray(state.T_CW)]
+    frame_ids = [b]
+    for i in range(b + 1, bench.TIMED_START):
+        state = vo.step(state, dev_frames[i], jax.random.fold_in(key, i))
+        statuses.append(int(state.status))
+        poses.append(np.asarray(state.T_CW))
+        frame_ids.append(i)
+
+    images = jnp.stack(dev_frames[bench.TIMED_START:])
+    keys = jnp.stack([jax.random.fold_in(key, i)
+                      for i in range(bench.TIMED_START, bench.NUM_FRAMES)])
+    run = scan_driver.make_scan_step(vo)
+    run_c = run.lower(state, images, keys).compile()
+    t0 = time.perf_counter()
+    final, outs = run_c(state, images, keys)
+    jax.block_until_ready(outs.T_CW)
+    dt = time.perf_counter() - t0
+    fps = images.shape[0] / dt
+
+    statuses.extend(int(s) for s in np.asarray(outs.status))
+    poses.extend(np.asarray(outs.T_CW))
+    frame_ids.extend(range(bench.TIMED_START, bench.NUM_FRAMES))
+    T_CW = np.stack(poses)
+    lost = int(sum(1 for s in statuses if s != 0))
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in T_CW])
+    gt = scene.poses_WC[frame_ids, :3, 3]
+    a = float(ate.ate_rmse(est, gt)) if np.all(np.isfinite(est)) else float("nan")
+    print(json.dumps({"variant": name, "ate": round(a, 4), "lost": lost,
+                      "fps": round(fps, 1)}), flush=True)
+
+
+VARIANTS = {
+    "base": lambda c: c,
+    "ba4": lambda c: c.replace(ba=dataclasses.replace(c.ba, every=4)),
+    "ba2": lambda c: c.replace(ba=dataclasses.replace(c.ba, every=2)),
+    "ba2w16": lambda c: c.replace(ba=dataclasses.replace(
+        c.ba, every=2, window=16)),
+    "ba1": lambda c: c.replace(ba=dataclasses.replace(c.ba, every=1)),
+    "ba2i4": lambda c: c.replace(ba=dataclasses.replace(
+        c.ba, every=2, iters=4)),
+}
+
+
+def main():
+    names = sys.argv[1:] or ["ba4", "ba2"]
+    scene, frames = bench.render_scene()
+    for n in names:
+        run_variant(n, scene, frames, VARIANTS[n])
+
+
+if __name__ == "__main__":
+    main()
