@@ -101,10 +101,17 @@ def bench_ours(scene, frames):
     run_c = run.lower(state, images, keys).compile() if hasattr(
         run, "lower") else run
 
-    t0 = time.perf_counter()
-    final, outs = run_c(state, images, keys)
-    jax.block_until_ready(outs.T_CW)
-    dt = time.perf_counter() - t0
+    # Best-of-N timing: the axon tunnel and a shared chip add tens of ms of
+    # run-to-run jitter to a single blocking dispatch (measured: the same
+    # compiled scan varies 2-4x across back-to-back calls); the minimum is
+    # the honest device throughput.
+    jax.block_until_ready(run_c(state, images, keys)[1].T_CW)  # warm
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, outs = run_c(state, images, keys)
+        jax.block_until_ready(outs.T_CW)
+        dt = min(dt, time.perf_counter() - t0)
     n_timed = images.shape[0]
     fps = n_timed / dt
 

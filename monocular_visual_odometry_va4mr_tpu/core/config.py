@@ -85,6 +85,13 @@ class KLTConfig:
     # gate to the DESTINATION window, killing tracks that landed on flats.
     fb_check: bool = True
     fb_max_err_px: float = 1.5
+    # Backward-pass iteration budget: the backward prior is the exact
+    # negated forward flow, so healthy tracks converge in 1-2 iterations;
+    # divergent ones are killed by the fb_max_err_px gate regardless of
+    # how long they iterate.  Fewer iterations than the forward pass cut
+    # the FB overhead (~30% of KLT cost, which is VPU-bound in the
+    # iteration loop).
+    fb_iters: int = 8
     # "pallas": dense coarse-flow prior + single-level Pallas LK (TPU hot path,
     # ops/klt_pallas.py); "xla": multi-level gather tracker (ops/klt.py,
     # portable oracle); "auto": pallas2 on TPU, xla elsewhere (the Pallas

@@ -60,7 +60,7 @@ def _bit(v, s):
 
 def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
                  slab, sems, *, num_iters, eps, min_eig_threshold,
-                 max_residual, n_prog):
+                 max_residual, n_prog, swap_planes=False):
     """One program: BF features, fully batched.
 
     meta_ref  (1, 2, BF, 2) SMEM int32: packed (y0/8 | x0/128 << 8 | c << 12)
@@ -80,8 +80,12 @@ def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
         y0 = pl.multiple_of(jnp.mod(v, 256) * 8, 8)
         x0 = pl.multiple_of(jnp.mod(v // 256, 16) * 128, 128)
         c = v // 4096
+        # swap_planes: template/search read from copies planes (1, 0) —
+        # lets a backward (next->prev) pass reuse the FORWARD pass's
+        # lane-shifted copies tensor verbatim (XLA CSE dedupes the build).
+        src_p = (1 - p) if swap_planes else p
         return pltpu.make_async_copy(
-            copies_ref.at[c, p, pl.ds(y0, R), pl.ds(x0, 128)],
+            copies_ref.at[c, src_p, pl.ds(y0, R), pl.ds(x0, 128)],
             slab.at[buf, f, p],
             sems.at[buf],
         )
@@ -226,17 +230,17 @@ def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_iters", "eps", "min_eig_threshold", "max_residual",
-                     "interpret"),
+                     "interpret", "swap_planes"),
 )
 def _run_klt2(copies, meta, regv, fvec, *, num_iters, eps, min_eig_threshold,
-              max_residual, interpret=False):
+              max_residual, interpret=False, swap_planes=False):
     N = regv.shape[0] // 2
     n_prog = N // BF
     G = BF // 4
     kernel = functools.partial(
         _klt2_kernel, num_iters=num_iters, eps=eps,
         min_eig_threshold=min_eig_threshold, max_residual=max_residual,
-        n_prog=n_prog,
+        n_prog=n_prog, swap_planes=swap_planes,
     )
     return pl.pallas_call(
         kernel,
@@ -289,12 +293,12 @@ def _lane_rep(vals, n_rep):
 @functools.partial(
     jax.jit,
     static_argnames=("num_iters", "eps", "min_eig_threshold", "max_residual",
-                     "interpret"),
+                     "interpret", "swap_planes"),
 )
 def track_features_pallas2(
     prev_pyr: Tuple[jnp.ndarray, ...],
     next_pyr: Tuple[jnp.ndarray, ...],
-    pts: jnp.ndarray,  # (N, 2) [x, y] positions in the previous frame
+    pts: jnp.ndarray,  # (N, 2) [x, y] positions in the template frame
     valid: jnp.ndarray,  # (N,) bool
     *,
     num_iters: int = 8,
@@ -303,6 +307,7 @@ def track_features_pallas2(
     max_residual: float = 20.0,
     prior: jnp.ndarray = None,
     interpret: bool = False,
+    swap_planes: bool = False,
 ):
     """Drop-in equivalent of klt.track_features (cv2.calcOpticalFlowPyrLK,
     reference VisualOdometryPipeLine.py:281) on the packed Pallas kernel.
@@ -310,7 +315,13 @@ def track_features_pallas2(
     Tables of any length are padded up to a multiple of BF (=128).
 
     ``prior``: optional (N, 2) per-feature flow prior in px of the level-0
-    images; skips the internal coarse-volume prior (see track_multilevel)."""
+    images; skips the internal coarse-volume prior (see track_multilevel).
+
+    ``swap_planes``: track next->prev (template = ``next_pyr``, search =
+    ``prev_pyr``) while still building the lane-shifted copies tensor from
+    the canonical (prev, next) pair — a forward-backward pair of calls then
+    shares ONE copies build through XLA common-subexpression elimination
+    (the build is ~22 MB of HBM writes per call at KITTI resolution)."""
     i0 = prev_pyr[0]
     i1 = next_pyr[0]
     H, W = i0.shape
@@ -341,10 +352,12 @@ def track_features_pallas2(
     pts_s = jnp.clip(jnp.nan_to_num(pts, nan=64.0, posinf=64.0, neginf=64.0),
                      -8.0, lim)
 
+    tmpl_pyr, srch_pyr = (next_pyr, prev_pyr) if swap_planes else (prev_pyr,
+                                                                   next_pyr)
     if prior is None:
-        # Dense coarse prior (shared with v1).
-        coarse_prev = prev_pyr[min(COARSE_LEVEL, len(prev_pyr) - 1)]
-        coarse_next = next_pyr[min(COARSE_LEVEL, len(next_pyr) - 1)]
+        # Dense coarse prior (shared with v1), template -> search direction.
+        coarse_prev = tmpl_pyr[min(COARSE_LEVEL, len(tmpl_pyr) - 1)]
+        coarse_next = srch_pyr[min(COARSE_LEVEL, len(srch_pyr) - 1)]
         scale = float(round(H / coarse_prev.shape[0]))
         flow_c = v1.coarse_flow_volume(coarse_prev, coarse_next)
         pred = v1.sample_map_onehot(flow_c, pts_s / scale) * scale
@@ -393,7 +406,8 @@ def track_features_pallas2(
 
     out = _run_klt2(copies, meta, regv, fvec, num_iters=num_iters, eps=eps,
                     min_eig_threshold=min_eig_threshold,
-                    max_residual=max_residual, interpret=interpret)
+                    max_residual=max_residual, interpret=interpret,
+                    swap_planes=swap_planes)
 
     vals = out.reshape(N // 4, 8, 4, 32)[:, :, :, 0]  # (N/4, 8, 4)
     vals = vals.transpose(0, 2, 1).reshape(N, 8)

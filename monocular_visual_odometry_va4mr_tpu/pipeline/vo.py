@@ -135,14 +135,24 @@ class VisualOdometry:
         cfg = self.config.klt
         new_pts, ok, resid = self._track(prev_pyr, next_pyr, pts, valid)
         if cfg.fb_check:
-            if self.klt_backend in ("pallas", "pallas2"):
-                fn = (klt_pallas2.track_features_pallas2
-                      if self.klt_backend == "pallas2"
-                      else klt_pallas.track_features_pallas)
-                back_pts, back_ok, _ = fn(
+            if self.klt_backend == "pallas2":
+                # swap_planes: the backward pass reuses the forward pass's
+                # lane-shifted copies tensor through XLA CSE instead of
+                # building a second ~22 MB one (ops/klt_pallas2.py).
+                back_pts, back_ok, _ = klt_pallas2.track_features_pallas2(
+                    prev_pyr, next_pyr, new_pts, ok,
+                    prior=pts - new_pts,
+                    num_iters=min(cfg.num_iters, cfg.fb_iters),
+                    eps=cfg.eps,
+                    min_eig_threshold=cfg.min_eig_threshold,
+                    max_residual=cfg.max_residual,
+                    swap_planes=True,
+                )
+            elif self.klt_backend == "pallas":
+                back_pts, back_ok, _ = klt_pallas.track_features_pallas(
                     next_pyr, prev_pyr, new_pts, ok,
                     prior=pts - new_pts,
-                    num_iters=min(cfg.num_iters, 8),
+                    num_iters=min(cfg.num_iters, cfg.fb_iters),
                     eps=cfg.eps,
                     min_eig_threshold=cfg.min_eig_threshold,
                     max_residual=cfg.max_residual,

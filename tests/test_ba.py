@@ -66,6 +66,40 @@ def cam_positions(T_CW):
 
 
 class TestBA:
+    def test_nan_garbage_in_invalid_slots_is_harmless(self, rng):
+        """Regression for the on-chip NaN poisoning at bench frame 63: the
+        slotted state never clears dead rows, so INVALID landmark slots can
+        hold Inf/NaN garbage.  backend/ba.py:_residuals_and_jacobians
+        hard-zeroes non-finite observations (0 * NaN = NaN would otherwise
+        poison the Schur einsum sums); this pins that guard."""
+        window, T_gt, X = make_ba_problem(rng)
+        L = window.lm_xyz.shape[0]
+        dead = np.zeros(L, bool)
+        dead[rng.choice(L, size=L // 4, replace=False)] = True
+        lm = np.asarray(window.lm_xyz).copy()
+        lm[dead] = np.array([np.nan, np.inf, -np.inf])
+        obs = np.asarray(window.obs_uv).copy()
+        obs[:, dead] = np.nan
+        mask = np.asarray(window.obs_mask) & ~dead[None, :]
+        poisoned = ba.BAWindow(
+            T_CW=window.T_CW,
+            lm_xyz=jnp.asarray(lm),
+            obs_uv=jnp.asarray(obs),
+            obs_mask=jnp.asarray(mask),
+        )
+        out, costs = ba.run_ba(poisoned, Camera.from_matrix(jnp.asarray(K)),
+                               iters=3)
+        assert np.all(np.isfinite(np.asarray(out.T_CW)))
+        assert np.all(np.isfinite(np.asarray(costs)))
+        assert np.all(np.isfinite(np.asarray(out.lm_xyz)[~dead]))
+        # Poses must still converge: the masked-clean solve and the poisoned
+        # solve see different observation sets (dead rows masked), but both
+        # must land near the ground truth.
+        err = np.linalg.norm(
+            cam_positions(out.T_CW) - cam_positions(T_gt), axis=1)
+        assert err.max() < 0.05, err
+
+
     def test_cost_decreases_and_poses_recover(self, rng):
         window, T_gt, X_gt = make_ba_problem(rng)
         cam = Camera.from_matrix(K)

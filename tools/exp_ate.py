@@ -73,6 +73,17 @@ def run_variant(name, scene, frames, mutate):
                       "fps": round(fps, 1)}), flush=True)
 
 
+def _caps(c, lm, cand, corners=None):
+    from monocular_visual_odometry_va4mr_tpu.core.config import CapacityConfig
+    c = c.replace(capacity=CapacityConfig(
+        max_landmarks=lm, max_candidates=cand,
+        pose_window=c.capacity.pose_window))
+    if corners:
+        c = c.replace(detector=dataclasses.replace(
+            c.detector, max_corners=corners))
+    return c
+
+
 VARIANTS = {
     "base": lambda c: c,
     "ba4": lambda c: c.replace(ba=dataclasses.replace(c.ba, every=4)),
@@ -82,6 +93,30 @@ VARIANTS = {
     "ba1": lambda c: c.replace(ba=dataclasses.replace(c.ba, every=1)),
     "ba2i4": lambda c: c.replace(ba=dataclasses.replace(
         c.ba, every=2, iters=4)),
+    # Capacity sweep: KLT/dedup cost is linear in table capacity (the
+    # tracker always runs max_landmarks+max_candidates points).
+    "ba4c512": lambda c: _caps(
+        c.replace(ba=dataclasses.replace(c.ba, every=4)), 512, 512),
+    "ba4c768": lambda c: _caps(
+        c.replace(ba=dataclasses.replace(c.ba, every=4)), 768, 768),
+    "ba4c512d768": lambda c: _caps(
+        c.replace(ba=dataclasses.replace(c.ba, every=4)), 512, 512, 768),
+    "ba8c512": lambda c: _caps(
+        c.replace(ba=dataclasses.replace(c.ba, every=8)), 512, 512),
+    # KLT iteration budget (the Pallas kernel is VPU-bound in its
+    # iteration loop; trace: 3 kernel calls = 60% of the step).
+    "ba4fb8": lambda c: c.replace(
+        ba=dataclasses.replace(c.ba, every=4),
+        klt=dataclasses.replace(c.klt, fb_iters=8)),
+    "ba4it6": lambda c: c.replace(
+        ba=dataclasses.replace(c.ba, every=4),
+        klt=dataclasses.replace(c.klt, num_iters=6)),
+    "ba4c512it6": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=4),
+        klt=dataclasses.replace(c.klt, num_iters=6)), 512, 512),
+    "ba4c512fb2": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=4),
+        klt=dataclasses.replace(c.klt, fb_iters=2)), 512, 512),
 }
 
 
