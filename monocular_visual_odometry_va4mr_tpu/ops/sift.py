@@ -295,6 +295,11 @@ def detect_and_compute(
     first_octave: int = -1,
 ) -> SiftFeatures:
     """SIFT keypoints + descriptors with fixed output shapes."""
+    # _scale_space only implements the 2x-upsampled (-1) and native (0)
+    # first octaves; any other value would silently misalign coordinates
+    # against the pyramid (advisor r3).  Static arg, so a plain assert.
+    assert first_octave in (-1, 0), (
+        f"first_octave must be -1 or 0, got {first_octave}")
     img = img.astype(jnp.float32) / 255.0
     s = scales_per_octave
     octaves = _scale_space(img, num_octaves, s, sigma, first_octave)

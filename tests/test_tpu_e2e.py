@@ -70,6 +70,23 @@ needs_tpu = pytest.mark.skipif(not _tpu_available(),
 
 
 @needs_tpu
+def test_bench_gate_on_tpu():
+    """The EXACT bench operating point (95 frames, 376x1241, BA-on, scan
+    driver) must pass the bench health predicate — so accuracy regressions
+    surface in CI, not in the driver's end-of-round JSON (round-3 verdict
+    next-step #3).  Runs bench.py itself: one source of truth."""
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       timeout=3000, capture_output=True, text=True, cwd=REPO)
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert r.returncode == 0 and lines, (r.returncode, r.stdout[-2000:],
+                                         r.stderr[-3000:])
+    out = json.loads(lines[-1])
+    assert out["healthy"], out
+    assert out["lost"] == 0, out
+    assert out["ate_rmse"] <= out["ate_bound"], out
+
+
+@needs_tpu
 def test_pallas2_tracks_textured_sequence_on_tpu():
     """The shipped pallas2 hardware path must TRACK a textured sequence —
     the property the round-2 benchmark never checked."""

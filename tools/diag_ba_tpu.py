@@ -21,8 +21,9 @@ cfg = cfg.replace(detector=dataclasses.replace(cfg.detector, quality_level=0.03)
 vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
 key = jax.random.PRNGKey(0)
 dev = [jnp.asarray(f, jnp.float32) for f in frames]
-st = vo.bootstrap(dev[0], dev[4], jax.random.fold_in(key, 0), intermediate=dev[1:4])
-for i in range(5, nf):
+b = bench.BOOTSTRAP_STRIDE  # stay on the bench operating point (advisor r3)
+st = vo.bootstrap(dev[0], dev[b], jax.random.fold_in(key, 0), intermediate=dev[1:b])
+for i in range(b + 1, nf):
     prev = st
     st = vo.step(st, dev[i], jax.random.fold_in(key, i))
     T = np.asarray(st.T_CW); X = np.asarray(st.lm_xyz); baT = np.asarray(st.ba_T)

@@ -55,10 +55,14 @@ def run_variant(name, scene, frames, mutate):
                       for i in range(bench.TIMED_START, bench.NUM_FRAMES)])
     run = scan_driver.make_scan_step(vo)
     run_c = run.lower(state, images, keys).compile()
-    t0 = time.perf_counter()
-    final, outs = run_c(state, images, keys)
-    jax.block_until_ready(outs.T_CW)
-    dt = time.perf_counter() - t0
+    # Best-of-3 (tunnel/chip-contention jitter — same rationale as bench.py).
+    jax.block_until_ready(run_c(state, images, keys)[1].T_CW)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, outs = run_c(state, images, keys)
+        jax.block_until_ready(outs.T_CW)
+        dt = min(dt, time.perf_counter() - t0)
     fps = images.shape[0] / dt
 
     statuses.extend(int(s) for s in np.asarray(outs.status))
@@ -117,6 +121,19 @@ VARIANTS = {
     "ba4c512fb2": lambda c: _caps(c.replace(
         ba=dataclasses.replace(c.ba, every=4),
         klt=dataclasses.replace(c.klt, fb_iters=2)), 512, 512),
+    # Combined speed candidates (round-4 shipping config search).
+    "fast4": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=4),
+        klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4)),
+        512, 512, 768),
+    "fast8": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=8),
+        klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4)),
+        512, 512, 768),
+    "fast6": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=6),
+        klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4)),
+        512, 512, 768),
 }
 
 
