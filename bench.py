@@ -49,25 +49,25 @@ def bench_ours(scene, frames):
     import jax.numpy as jnp
 
     from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
-    from monocular_visual_odometry_va4mr_tpu.core.config import kitti_config
+    from monocular_visual_odometry_va4mr_tpu.core.config import (
+        kitti_tuned_config)
     from monocular_visual_odometry_va4mr_tpu.pipeline import scan_driver
     from monocular_visual_odometry_va4mr_tpu.pipeline.vo import VisualOdometry
 
     import dataclasses
 
-    cfg = kitti_config().replace(image_shape=scene.image_shape,
-                                 bootstrap_method="klt")
+    # The shipped TPU operating point (core/config.py kitti_tuned_config):
+    # in-step windowed BA every 8 frames + 512-slot tables + 6/4 LK
+    # iterations — round-4 sweep: ATE 0.41 vs the reference's 3.61 on
+    # identical frames at ~378 fps (the reference has no BA at all,
+    # VisualOdometryPipeLine.py:326-373 is frame-to-frame PnP only).
+    cfg = kitti_tuned_config().replace(image_shape=scene.image_shape,
+                                       bootstrap_method="klt")
     # Value-noise texture has a wider corner-response spread than street
     # imagery; 0.03 is the reference's own low-contrast setting (Malaga,
     # main.py:60) and is given to BOTH pipelines (see bench_reference).
     cfg = cfg.replace(
         detector=dataclasses.replace(cfg.detector, quality_level=0.03))
-    # In-step windowed BA (pipeline/vo.py, backend/ba.py) is part of the
-    # benched configuration: measured on-chip (tools/exp_ate.py, round 3/4)
-    # it cuts ATE ~10x (3.96 -> 0.41 at every=4) on this scene, well under
-    # the reference's 3.61 bound.  The reference has no BA at all
-    # (VisualOdometryPipeLine.py:326-373 is frame-to-frame PnP only).
-    cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, every=4))
     vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
     key = jax.random.PRNGKey(0)
 

@@ -235,8 +235,38 @@ def parking_config() -> PipelineConfig:
     )
 
 
+def kitti_tuned_config() -> PipelineConfig:
+    """KITTI preset tuned for TPU throughput (the benched configuration).
+
+    Same reference-derived gates as :func:`kitti_config`, with the knobs the
+    reference doesn't have set from the round-4 on-chip sweep
+    (tools/exp_ate.py, 95-frame 376x1241 bench scene, best-of-3 timing):
+
+      * in-step windowed BA every 8 frames — ATE 0.41 vs the reference's
+        3.61 on identical frames (without BA: 3.96);
+      * 512-slot landmark/candidate tables + 768-corner detector — the
+        Pallas KLT cost is linear in table capacity, and the smaller
+        tables measured slightly MORE accurate (0.34-0.41 vs 0.41 at
+        1024/1400: fewer, better-textured features);
+      * 6 forward / 4 backward LK iterations (the multilevel chain's prior
+        is <2 px; extra iterations were pure latency).
+
+    Sweep (ATE / fps on one v5e chip): every=4: 0.57/334, every=6:
+    0.61/358, every=8: 0.41/378, full-iteration 1024-cap BA4: 0.34/314.
+    """
+    base = kitti_config()
+    return base.replace(
+        detector=dataclasses.replace(base.detector, max_corners=768),
+        klt=dataclasses.replace(base.klt, num_iters=6, fb_iters=4),
+        ba=dataclasses.replace(base.ba, every=8),
+        capacity=dataclasses.replace(base.capacity, max_landmarks=512,
+                                     max_candidates=512),
+    )
+
+
 PRESETS = {
     "kitti": kitti_config,
+    "kitti-tuned": kitti_tuned_config,
     "malaga": malaga_config,
     "parking": parking_config,
 }

@@ -6,8 +6,12 @@ corrections propagate O(D) — this harness RECORDS that constant (round-3
 verdict weak #7: the >=75% multi-host efficiency claim needs
 iterations-to-convergence growth, not just per-iteration cost).
 
-Convergence criterion: max camera-center error vs ground truth < tol
-(absolute, meters), checked after each iteration count.
+Convergence metric: a distributed solver's job is to match the CENTRALIZED
+solution of the same problem, not to beat the monocular noise floor (which
+grows with chain length and would conflate the two).  We solve the identical
+problem as ONE global BA window (same observations, block-sparse mask,
+anchors frozen) to convergence, then measure the max camera-center distance
+between the traj_ba iterate and that reference solution.
 
 Usage:  python tools/traj_ba_convergence.py [--tol 0.02] [--max-iters 64]
 """
@@ -27,6 +31,28 @@ def cam_positions(T_CW):
     return np.stack([-T[:3, :3].T @ T[:3, 3] for T in T_CW])
 
 
+def global_window(noisy, D, S, L):
+    """The SAME problem as one dense-masked global BA window."""
+    import jax.numpy as jnp
+
+    from monocular_visual_odometry_va4mr_tpu.backend import ba
+
+    n_poses = 2 + D * S
+    uv = np.asarray(noisy.obs_uv)
+    m = np.asarray(noisy.obs_mask)
+    obs_uv = np.zeros((n_poses, D * L, 2), np.float32)
+    obs_mask = np.zeros((n_poses, D * L), bool)
+    for d in range(D):
+        for r in range(S + 2):
+            g = d * S + r  # halo rows r<2 land on the left neighbor's poses
+            obs_uv[g, d * L:(d + 1) * L] = uv[d, r]
+            obs_mask[g, d * L:(d + 1) * L] = m[d, r]
+    return ba.BAWindow(
+        T_CW=jnp.concatenate([noisy.anchor_T_CW, noisy.T_CW], axis=0),
+        lm_xyz=noisy.lm_xyz,
+        obs_uv=jnp.asarray(obs_uv), obs_mask=jnp.asarray(obs_mask))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tol", type=float, default=0.02)
@@ -40,38 +66,50 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+    from monocular_visual_odometry_va4mr_tpu.backend import ba
+    from monocular_visual_odometry_va4mr_tpu.core.camera import Camera
     from monocular_visual_odometry_va4mr_tpu.parallel import seq_dp, traj_ba
 
+    S, L = args.segment_kf, args.landmarks
     rows = []
     for D in (1, 2, 4, 8):
-        noisy, gt, cam = traj_ba.build_synthetic_traj(
-            D, args.segment_kf, args.landmarks, seed=1)
+        noisy, gt, cam = traj_ba.build_synthetic_traj(D, S, L, seed=1)
         mesh = seq_dp.make_mesh(D, "kf")
         seg = traj_ba.shard_segments(noisy, mesh, "kf")
         gt_pos = cam_positions(gt.T_CW)
-        err0 = np.abs(cam_positions(noisy.T_CW) - gt_pos).max()
 
-        it_needed = None
-        err_at = {}
+        # Centralized reference: the same problem as ONE sparse global
+        # window.  Long sparse chains are ill-conditioned for lightly-damped
+        # GN (damping 1e-4 diverged at D>=4, cost 3e5 -> 1e8); damping 0.1
+        # with 80 iterations converges (measured).
+        ref_win, _ = ba.run_ba(global_window(noisy, D, S, L), cam, iters=80,
+                               n_fixed=2, damping=0.1)
+        ref_pos = cam_positions(ref_win.T_CW)[2:]  # local poses only
+        ref_gt_err = float(np.abs(ref_pos - gt_pos).max())
+
+        it_needed, dist_last, gt_err_last = None, None, None
         for iters in range(2, args.max_iters + 1, 2):
-            out, costs = traj_ba.run_traj_ba(seg, cam, mesh=mesh, axis="kf",
-                                             iters=iters)
-            err = float(
-                np.abs(cam_positions(out.T_CW) - gt_pos).max())
-            err_at[iters] = err
-            if err < args.tol:
+            out, _ = traj_ba.run_traj_ba(seg, cam, mesh=mesh, axis="kf",
+                                         iters=iters)
+            pos = cam_positions(out.T_CW)
+            dist_last = float(np.abs(pos - ref_pos).max())
+            gt_err_last = float(np.abs(pos - gt_pos).max())
+            # Converged when the distributed solution is as good as the
+            # centralized one (vs GT) or sits on top of it.
+            if dist_last < args.tol or gt_err_last <= 1.1 * ref_gt_err:
                 it_needed = iters
                 break
-        rows.append({"D": D, "kf": D * args.segment_kf,
-                     "err_init": round(float(err0), 4),
-                     "iters_to_tol": it_needed,
-                     "err_final": round(err_at[max(err_at)], 4)})
+        rows.append({"D": D, "kf": D * S,
+                     "iters_to_match_global": it_needed,
+                     "traj_ba_gt_err": round(gt_err_last, 4),
+                     "global_gt_err": round(ref_gt_err, 4),
+                     "dist_to_global": round(dist_last, 4)})
         print(json.dumps(rows[-1]), flush=True)
 
-    its = [r["iters_to_tol"] for r in rows if r["iters_to_tol"]]
-    if len(its) == len(rows):
-        print(f"# iterations grow ~{its[-1] / max(its[0], 1):.1f}x from D=1 "
-              f"to D=8 (block-Jacobi O(D) propagation)")
+    its = [r["iters_to_match_global"] for r in rows]
+    if all(its):
+        print(f"# iterations-to-match-global grow {its[0]} -> {its[-1]} "
+              f"from D=1 to D=8 (block-Jacobi O(D) propagation)")
 
 
 if __name__ == "__main__":
