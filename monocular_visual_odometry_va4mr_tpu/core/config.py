@@ -67,6 +67,16 @@ class KLTConfig:
 
     window: int = 15  # 'winSize' (square)
     max_level: int = 4  # 'maxLevel' (pyramid levels above base; capped by image size)
+    # MOTION ENVELOPE (pallas backends): the coarse /16 SSD volume covers
+    # +-COARSE_RANGE(=10) coarse px = +-160 full-res px of inter-frame
+    # motion.  Measured on-chip (tools/stress_klt_motion.py, 800x600
+    # Malaga-geometry shift pairs): inside +-160 px the tracker is healthy
+    # (>60% of features at sub-pixel error, 1.2-2.7% accepted gross
+    # outliers vs the cv2-style XLA oracle's own up-to-4%); at 180 px it
+    # degrades; beyond, it tracks nothing and accepts <=7% garbage (which
+    # PnP-RANSAC rejects).  Real Malaga 800x600 urban flow is <100
+    # px/frame.  For faster motion use backend="xla" (healthy to
+    # +-220 px with a 6-level pyramid, reference main.py:65-68 envelope).
     # NOTE: the Pallas backends run min(num_iters, 8) Gauss-Newton iterations:
     # their per-feature drift guard is ±8 px around the coarse-flow prior, so
     # additional iterations cannot move the estimate further and are pure

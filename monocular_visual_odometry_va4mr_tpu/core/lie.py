@@ -154,3 +154,109 @@ def invert_se3(T: jnp.ndarray) -> jnp.ndarray:
     Ti = Ti.at[:3, :3].set(R.T)
     Ti = Ti.at[:3, 3].set(-(R.T @ t))
     return Ti
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) — similarity transforms [[s*R, t], [0, 1]].
+#
+# Used by the Sim(3) pose graph (backend/posegraph_sim3.py), the standard
+# treatment of monocular SCALE drift (Strasdat et al., "Scale drift-aware
+# large scale monocular SLAM"): a two-view loop closure constrains relative
+# rotation/translation-direction AND relative scale, and optimizing nodes on
+# Sim(3) redistributes accumulated scale error along the loop — something an
+# SE(3) graph structurally cannot do.  Tangent layout: xi = (v, w, sigma),
+# exp(xi) = [[e^sigma * so3_exp(w), W(w, sigma) v], [0, 1]] (Sophus
+# convention).  All branches carry Taylor guards with safe denominators so
+# jax.jacobian at xi = 0 (the pose-graph linearization point) is exact.
+# ---------------------------------------------------------------------------
+
+
+def _sim3_W(w: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The (3,3) matrix W with t = W v in sim3_exp (Sophus calcW)."""
+    dtype = w.dtype
+    theta2 = jnp.dot(w, w)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    Om = hat(w)
+    s = jnp.exp(sigma)
+    sig2 = sigma * sigma
+
+    small_sig = jnp.abs(sigma) < 1e-4
+    small_th = theta < 1e-4
+    sig_safe = jnp.where(small_sig, 1.0, sigma)
+    sig2_safe = jnp.where(small_sig, 1.0, sig2)
+    th_safe = jnp.where(small_th, 1.0, theta)
+    th2_safe = jnp.where(small_th, 1.0, theta2)
+    c_den = theta2 + sig2
+    c_safe = jnp.where(c_den < 1e-10, 1.0, c_den)
+
+    C = jnp.where(small_sig, 1.0 + sigma / 2.0 + sig2 / 6.0,
+                  (s - 1.0) / sig_safe)
+
+    a_ = s * jnp.sin(theta)
+    b_ = s * jnp.cos(theta)
+    A_gen = (a_ * sigma + (1.0 - b_) * theta) / (th_safe * c_safe)
+    A_sig = ((sigma - 1.0) * s + 1.0) / sig2_safe  # sigma!=0, theta->0
+    A_small = jnp.where(small_th, 0.5 + sigma / 3.0,
+                        (1.0 - jnp.cos(theta)) / th2_safe)
+    A = jnp.where(small_sig, A_small, jnp.where(small_th, A_sig, A_gen))
+
+    B_gen = (C - ((b_ - 1.0) * sigma + a_ * theta) / c_safe) / th2_safe
+    B_sig = (s * (0.5 * sig2 - sigma + 1.0) - 1.0) / (sig2_safe * sig_safe)
+    B_small = jnp.where(small_th, 1.0 / 6.0 + sigma / 8.0,
+                        (theta - jnp.sin(theta)) / (th2_safe * th_safe))
+    B = jnp.where(small_sig, B_small, jnp.where(small_th, B_sig, B_gen))
+
+    return C * jnp.eye(3, dtype=dtype) + A * Om + B * (Om @ Om)
+
+
+def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """sim(3) tangent (7,) = (v, w, sigma) -> similarity matrix (4,4)."""
+    v, w, sigma = xi[:3], xi[3:6], xi[6]
+    S = jnp.eye(4, dtype=xi.dtype)
+    S = S.at[:3, :3].set(jnp.exp(sigma) * so3_exp(w))
+    S = S.at[:3, 3].set(_sim3_W(w, sigma) @ v)
+    return S
+
+
+def sim3_log(S: jnp.ndarray) -> jnp.ndarray:
+    """Similarity matrix (4,4) -> tangent (7,) = (v, w, sigma)."""
+    sR = S[:3, :3]
+    # det(sR) = s^3: differentiable scale extraction, exact for any s > 0.
+    s = jnp.cbrt(jnp.linalg.det(sR))
+    sigma = jnp.log(s)
+    R = sR / s
+    w = so3_log(R)
+    v = jnp.linalg.solve(_sim3_W(w, sigma), S[:3, 3])
+    return jnp.concatenate([v, w, sigma[None]])
+
+
+def sim3_from_rt_s(R: jnp.ndarray, t: jnp.ndarray, s) -> jnp.ndarray:
+    """(R, t, s) -> [[s*R, t], [0, 1]]."""
+    S = jnp.eye(4, dtype=R.dtype)
+    S = S.at[:3, :3].set(jnp.asarray(s) * R)
+    S = S.at[:3, 3].set(t.reshape(3))
+    return S
+
+
+def invert_sim3(S: jnp.ndarray) -> jnp.ndarray:
+    """Similarity inverse: [[sR, t]]^-1 = [[(1/s)R^T, -(1/s)R^T t]]."""
+    sR = S[:3, :3]
+    s2 = jnp.sum(sR[0] * sR[0])  # |s*R row|^2 = s^2
+    Rts = sR.T / s2  # = R^T / s
+    Si = jnp.eye(4, dtype=S.dtype)
+    Si = Si.at[:3, :3].set(Rts)
+    Si = Si.at[:3, 3].set(-(Rts @ S[:3, 3]))
+    return Si
+
+
+def sim3_to_se3(S: jnp.ndarray) -> jnp.ndarray:
+    """Camera pose from a Sim(3) node: [[sR, t]] -> [[R, t/s]].
+
+    The Strasdat convention: after Sim(3) pose-graph optimization the
+    node's rigid pose is the rotation with the translation de-scaled."""
+    sR = S[:3, :3]
+    s = jnp.cbrt(jnp.linalg.det(sR))
+    T = jnp.eye(4, dtype=S.dtype)
+    T = T.at[:3, :3].set(sR / s)
+    T = T.at[:3, 3].set(S[:3, 3] / s)
+    return T

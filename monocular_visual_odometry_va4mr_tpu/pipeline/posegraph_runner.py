@@ -10,11 +10,17 @@ accumulated drift.  The reference has no equivalent (raw pose list only,
 VisualOdometryPipeLine.py:41,:371); this is part of the added back-end from
 BASELINE.json's north star.
 
-Monocular caveat, by design: a two-view loop closure fixes relative rotation
-and translation *direction* but not translation magnitude.  The loop edge's
-translation is therefore scaled to the graph's current estimate of that
-segment — the edge corrects direction/rotation drift and leaves absolute
-scale to the odometry chain.
+Monocular scale, two ways:
+  * ``method="sim3"`` (default): the loop matches are triangulated at unit
+    baseline and their median depth compared against each keyframe's VO map
+    depth — recovering both the metric |t| of the loop edge and the RELATIVE
+    SCALE between the two odometry segments; Sim(3) pose-graph optimization
+    (backend/posegraph_sim3.py) then absorbs accumulated scale drift, the
+    real monocular failure mode (round-3 verdict weak #8).
+  * ``method="se3"``: a two-view loop closure alone fixes relative rotation
+    and translation *direction* but not magnitude; the edge translation is
+    scaled to the graph's current estimate of that segment — corrects
+    direction/rotation drift only.
 """
 from __future__ import annotations
 
@@ -35,6 +41,18 @@ class Keyframe:
     uv: np.ndarray  # (F,2) SIFT keypoints
     desc: np.ndarray  # (F,128)
     valid: np.ndarray  # (F,)
+    # VO-map snapshot for the loop-closure scale estimate (Sim(3) path):
+    # pixel positions and camera-frame depths of the valid landmarks, in
+    # the odometry's CURRENT scale units.  A loop match associated (by
+    # pixel distance) with a landmark gives one sample of
+    # |t|_in_this_scale = z_landmark / z_triangulated_at_unit_baseline;
+    # the median over associated matches is the edge's metric anchor.
+    # Point-to-point association is essential: a scene-median depth ratio
+    # conflates content change with scale drift (measured on the orbit
+    # scene: 1.65x apparent "scale" with zero true drift).
+    lm_uv: np.ndarray = None  # (L,2)
+    lm_z: np.ndarray = None  # (L,)
+    med_depth: float = 0.0  # median of lm_z (fallback diagnostics)
 
 
 class KeyframeBank:
@@ -69,21 +87,66 @@ class KeyframeBank:
         if int(state.status) != 0 or frame % self.every != 0:
             return
         uv, desc, valid = self._features(image)
+        T_CW = np.asarray(state.T_CW).copy()
+        lm = np.asarray(state.lm_xyz)
+        lv = np.asarray(state.lm_valid)
+        lm_uv = np.asarray(state.lm_uv)[lv]
+        z = (lm[lv] @ T_CW[:3, :3].T + T_CW[:3, 3])[:, 2]
+        good = (np.isfinite(z) & (z > 0)
+                & np.all(np.isfinite(lm_uv), axis=1))
+        lm_uv, z = lm_uv[good], z[good]
+        med_depth = float(np.median(z)) if z.size else 0.0
         self.keyframes.append(Keyframe(
-            record_idx=record_idx, frame=frame,
-            T_CW=np.asarray(state.T_CW).copy(),
-            uv=uv, desc=desc, valid=valid))
+            record_idx=record_idx, frame=frame, T_CW=T_CW,
+            uv=uv, desc=desc, valid=valid,
+            lm_uv=lm_uv, lm_z=z, med_depth=med_depth))
+
+
+def _metric_baseline(kf: Keyframe, uv_feat: np.ndarray, z_tri: np.ndarray,
+                     sel: np.ndarray, *, max_px: float = 5.0,
+                     min_assoc: int = 4) -> Optional[float]:
+    """|t| of the loop pair in ``kf``'s local odometry scale.
+
+    Associates loop matches with the keyframe's VO landmarks by pixel
+    distance; each association gives |t| = z_vo / z_tri (triangulation at
+    unit baseline scales depths by 1/|t|).  Median over associations; None
+    when too few associate (the caller falls back to a scale-free edge)."""
+    if kf.lm_uv is None or len(kf.lm_uv) == 0 or not sel.any():
+        return None
+    uv = uv_feat[sel]
+    d2 = ((uv[:, None, :] - kf.lm_uv[None, :, :]) ** 2).sum(-1)
+    nn = d2.argmin(1)
+    ok = d2[np.arange(len(nn)), nn] < max_px ** 2
+    zt = z_tri[sel][ok]
+    zv = kf.lm_z[nn[ok]]
+    good = np.isfinite(zt) & (zt > 1e-9)
+    if good.sum() < min_assoc:
+        return None
+    r = zv[good] / zt[good]
+    med = float(np.median(r))
+    # Quality gate: mis-associations and low-parallax triangulations
+    # produce wildly spread ratios (observed: a 22-inlier false pair gave
+    # |t| = 2771); a consistent association set is tight.
+    iqr = float(np.percentile(r, 75) - np.percentile(r, 25))
+    if med <= 0 or iqr > med:
+        return None
+    return med
 
 
 def detect_loops(bank: KeyframeBank, cam, *, min_gap_frames: int = 30,
                  min_matches: int = 50, min_inliers: int = 30,
                  ransac_iters: int = 300, seed: int = 0):
     """Descriptor-match every admissible keyframe pair, verify candidates
-    with essential-matrix RANSAC; returns [(i_kf, j_kf, R, t_dir, n_inl)]."""
+    with essential-matrix RANSAC; returns
+    [(i_kf, j_kf, R, t_dir, n_inl, t_i, t_j)] where t_i/t_j are the loop
+    baseline |t| measured in keyframe i's / j's local odometry scale via
+    landmark association (:func:`_metric_baseline`; None when
+    unobservable).  t_j / t_i is the relative scale of j's odometry vs
+    i's — the Sim(3) loop edge's scale observable."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops import essential, match
+    from ..ops import essential, match, triangulate
 
     loops = []
     kfs = bank.keyframes
@@ -112,18 +175,46 @@ def detect_loops(bank: KeyframeBank, cam, *, min_gap_frames: int = 30,
             R, t_dir, votes = essential.recover_pose(E, cam, uv0, uv1, inl)
             if int(votes) < min_inliers // 2:
                 continue
-            loops.append((a, b, np.asarray(R), np.asarray(t_dir), n_inl))
+            # Unit-baseline triangulation of the inlier matches, then
+            # landmark association recovers the metric |t| in each
+            # keyframe's own odometry scale.
+            Kmat = cam.matrix()
+            P0 = jnp.concatenate([Kmat, jnp.zeros((3, 1))], axis=1)
+            Rj = jnp.asarray(R, jnp.float32)
+            tj = jnp.asarray(t_dir, jnp.float32).reshape(3, 1)
+            P1 = Kmat @ jnp.concatenate([Rj, tj], axis=1)
+            X = triangulate.triangulate_dlt(
+                jnp.broadcast_to(P0, (uv0.shape[0], 3, 4)),
+                jnp.broadcast_to(P1, (uv0.shape[0], 3, 4)), uv0, uv1)
+            z_i = np.asarray(X[:, 2])
+            z_j = np.asarray(X @ Rj[2] + tj[2])
+            m = np.asarray(inl) & np.isfinite(z_i) & np.isfinite(z_j) \
+                & (z_i > 0) & (z_j > 0)
+            if m.sum() < min_inliers // 2:
+                continue
+            t_i = _metric_baseline(ka, np.asarray(ka.uv), z_i, m)
+            t_j = _metric_baseline(kb, np.asarray(kb.uv)[np.asarray(idx1)],
+                                   z_j, m)
+            loops.append((a, b, np.asarray(R), np.asarray(t_dir), n_inl,
+                          t_i, t_j))
     return loops
 
 
 def refine_trajectory(records, bank: KeyframeBank, cam, *,
                       loop_weight: float = 3.0, iters: int = 15,
                       min_gap_frames: int = 30, min_matches: int = 40,
-                      min_inliers: int = 25,
+                      min_inliers: int = 25, method: str = "sim3",
                       verbose: bool = False) -> Optional[np.ndarray]:
     """Build the pose graph (odometry chain + verified loop edges), optimize,
     and return corrected (len(records), 3) positions — or None if no
     keyframes/loops make a graph worthwhile.
+
+    ``method="sim3"`` (default): nodes on Sim(3) with the loop edges'
+    relative scale estimated from the depth ratio of the triangulated loop
+    matches vs each keyframe's map depth — corrects monocular SCALE drift
+    (backend/posegraph_sim3.py, Strasdat-style).  ``method="se3"``: the
+    rigid graph; its loop edges borrow |t| from the current estimate and
+    structurally cannot absorb scale error (kept for comparison/tests).
 
     Non-keyframe poses ride along rigidly with their preceding keyframe
     (each frame's pose is corrected by its keyframe's correction transform).
@@ -136,24 +227,54 @@ def refine_trajectory(records, bank: KeyframeBank, cam, *,
     loops = detect_loops(bank, cam, min_gap_frames=min_gap_frames,
                          min_matches=min_matches, min_inliers=min_inliers)
     if verbose:
-        print(f"posegraph: {len(kfs)} keyframes, {len(loops)} loop edges")
-    T_nodes = jnp.asarray(np.stack([k.T_CW for k in kfs]), jnp.float32)
-    graph = posegraph.odometry_edges(T_nodes)
-    for (a, b, R, t_dir, n_inl) in loops:
-        # Scale the unit-norm loop translation to the graph's current
-        # estimate of that displacement (monocular caveat, see module doc).
-        T_rel_est = np.asarray(kfs[b].T_CW) @ np.linalg.inv(
-            np.asarray(kfs[a].T_CW))
-        mag = np.linalg.norm(T_rel_est[:3, 3])
-        T_meas = np.eye(4, dtype=np.float32)
-        T_meas[:3, :3] = R
-        T_meas[:3, 3] = t_dir * mag
-        graph = posegraph.add_edge(graph, a, b, jnp.asarray(T_meas),
-                                   weight=loop_weight)
+        print(f"posegraph[{method}]: {len(kfs)} keyframes, "
+              f"{len(loops)} loop edges")
     if len(loops) == 0:
         return None
-    out, costs = posegraph.optimize(graph, iters=iters)
-    T_new = np.asarray(out.T_CW)
+    T_nodes = jnp.asarray(np.stack([k.T_CW for k in kfs]), jnp.float32)
+
+    if method == "sim3":
+        from ..backend import posegraph_sim3
+
+        graph = posegraph_sim3.from_se3_chain(T_nodes)
+        n_edges = 0
+        for (a, b, R, t_dir, n_inl, t_a, t_b) in loops:
+            if t_a is not None and t_b is not None:
+                # Relative scale of b's odometry vs a's = ratio of the SAME
+                # physical baseline measured in each local scale.
+                s_rel = t_b / max(t_a, 1e-9)
+                t_edge = t_dir * t_a
+            else:
+                # Scale unobservable (too few landmark associations): fall
+                # back to a scale-free edge — |t| borrowed from the current
+                # estimate, relative scale left to the odometry chain.
+                T_rel_est = np.asarray(kfs[b].T_CW) @ np.linalg.inv(
+                    np.asarray(kfs[a].T_CW))
+                t_edge = t_dir * np.linalg.norm(T_rel_est[:3, 3])
+                s_rel = 1.0
+            graph = posegraph_sim3.add_loop_edge(
+                graph, a, b, R, t_edge, s_rel, weight=loop_weight)
+            n_edges += 1
+        if n_edges == 0:
+            return None
+        out, costs = posegraph_sim3.optimize(graph, iters=iters,
+                                             damping=1e-4)
+        T_new = np.asarray(posegraph_sim3.corrected_poses(out))
+    else:
+        graph = posegraph.odometry_edges(T_nodes)
+        for (a, b, R, t_dir, n_inl, t_a, t_b) in loops:
+            # Scale the unit-norm loop translation to the graph's current
+            # estimate of that displacement (monocular caveat, module doc).
+            T_rel_est = np.asarray(kfs[b].T_CW) @ np.linalg.inv(
+                np.asarray(kfs[a].T_CW))
+            mag = np.linalg.norm(T_rel_est[:3, 3])
+            T_meas = np.eye(4, dtype=np.float32)
+            T_meas[:3, :3] = R
+            T_meas[:3, 3] = t_dir * mag
+            graph = posegraph.add_edge(graph, a, b, jnp.asarray(T_meas),
+                                       weight=loop_weight)
+        out, costs = posegraph.optimize(graph, iters=iters)
+        T_new = np.asarray(out.T_CW)
 
     # Propagate keyframe corrections to every record.
     positions = np.stack([r.T_WC[:3, 3] for r in records])

@@ -38,6 +38,10 @@ assert jax.default_backend() == "tpu"
 scene = synthetic.make_textured_scene(seed=7, num_frames=40,
                                       image_shape=(480, 640), step=1.0)
 frames = synthetic.render_all_cached(scene, "tpu-e2e-s7-f40-480x640")
+if {augment!r}:
+    frames = synthetic.augment_frames(
+        frames, seed=3, noise_std=2.0, exposure_drift=0.10,
+        vignette=0.2, occluder_frac=0.02)
 cfg = parking_config().replace(image_shape=scene.image_shape,
                                bootstrap_method="klt")
 cfg = cfg.replace(detector=dataclasses.replace(cfg.detector,
@@ -90,7 +94,8 @@ def test_bench_gate_on_tpu():
 def test_pallas2_tracks_textured_sequence_on_tpu():
     """The shipped pallas2 hardware path must TRACK a textured sequence —
     the property the round-2 benchmark never checked."""
-    r = subprocess.run([sys.executable, "-c", _E2E.format(repo=REPO)],
+    r = subprocess.run([sys.executable, "-c",
+                       _E2E.format(repo=REPO, augment=False)],
                        timeout=1800, capture_output=True, text=True, cwd=REPO)
     assert r.returncode == 0, r.stderr[-3000:]
     line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
@@ -98,3 +103,22 @@ def test_pallas2_tracks_textured_sequence_on_tpu():
     assert out["finite"], out
     assert out["lost"] <= 2, out  # transient loss tolerated, not collapse
     assert out["ate"] < 1.5, out  # ~36 m path -> ATE well under 5%
+
+
+@needs_tpu
+def test_pallas2_survives_photometric_and_occluder_stress_on_tpu():
+    """Realism stress (round-3 verdict missing #3): sensor noise, cyclic
+    exposure drift, vignetting, and an independently-moving textured
+    occluder covering 2% of the image.  The pipeline must keep tracking —
+    the occluder's features violate the static-world assumption and must
+    be rejected by the FB-gated KLT + PnP-RANSAC, not absorbed into the
+    pose."""
+    r = subprocess.run([sys.executable, "-c",
+                       _E2E.format(repo=REPO, augment=True)],
+                       timeout=1800, capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    out = json.loads(line[len("RESULT "):])
+    assert out["finite"], out
+    assert out["lost"] <= 4, out
+    assert out["ate"] < 2.0, out  # degraded vs clean (1.5) but tracking
