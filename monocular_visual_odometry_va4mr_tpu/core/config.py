@@ -245,12 +245,10 @@ def parking_config() -> PipelineConfig:
     )
 
 
-def kitti_tuned_config() -> PipelineConfig:
-    """KITTI preset tuned for TPU throughput (the benched configuration).
-
-    Same reference-derived gates as :func:`kitti_config`, with the knobs the
-    reference doesn't have set from the round-4 on-chip sweep
-    (tools/exp_ate.py, 95-frame 376x1241 bench scene, best-of-3 timing):
+def tune_for_tpu(cfg: PipelineConfig) -> PipelineConfig:
+    """TPU-throughput tuning from the round-4 on-chip sweep
+    (tools/exp_ate.py, 95-frame 376x1241 bench scene, best-of-3 timing);
+    dataset-independent — applies on top of any preset:
 
       * in-step windowed BA every 8 frames — ATE 0.41 vs the reference's
         3.61 on identical frames (without BA: 3.96);
@@ -264,14 +262,18 @@ def kitti_tuned_config() -> PipelineConfig:
     Sweep (ATE / fps on one v5e chip): every=4: 0.57/334, every=6:
     0.61/358, every=8: 0.41/378, full-iteration 1024-cap BA4: 0.34/314.
     """
-    base = kitti_config()
-    return base.replace(
-        detector=dataclasses.replace(base.detector, max_corners=768),
-        klt=dataclasses.replace(base.klt, num_iters=6, fb_iters=4),
-        ba=dataclasses.replace(base.ba, every=8),
-        capacity=dataclasses.replace(base.capacity, max_landmarks=512,
+    return cfg.replace(
+        detector=dataclasses.replace(cfg.detector, max_corners=768),
+        klt=dataclasses.replace(cfg.klt, num_iters=6, fb_iters=4),
+        ba=dataclasses.replace(cfg.ba, every=8),
+        capacity=dataclasses.replace(cfg.capacity, max_landmarks=512,
                                      max_candidates=512),
     )
+
+
+def kitti_tuned_config() -> PipelineConfig:
+    """KITTI preset at the benched TPU operating point (see tune_for_tpu)."""
+    return tune_for_tpu(kitti_config())
 
 
 PRESETS = {

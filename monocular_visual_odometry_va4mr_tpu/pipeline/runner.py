@@ -149,6 +149,7 @@ def run_sequence(
     recover_after: int = 2,
     posegraph: bool = False,
     posegraph_every: int = 8,
+    posegraph_method: str = "sim3",
     on_frame=None,
 ) -> RunResult:
     """Run the full pipeline over an (index, image) iterable.
@@ -281,6 +282,7 @@ def run_sequence(
     if bank is not None:
         from .posegraph_runner import refine_trajectory
 
-        refined = refine_trajectory(records, bank, vo.cam, verbose=verbose)
+        refined = refine_trajectory(records, bank, vo.cam,
+                                    method=posegraph_method, verbose=verbose)
     return RunResult(records, final_snapshot=_snapshot(state, last_img),
                      refined_positions=refined)

@@ -53,6 +53,15 @@ def build_parser():
                    help="collect keyframes + SIFT loop closures and refine "
                         "the trajectory with pose-graph optimization "
                         "(new capability vs the reference)")
+    p.add_argument("--posegraph-method", choices=["sim3", "se3"],
+                   default="sim3",
+                   help="loop-closure graph: Sim(3) corrects monocular "
+                        "scale drift (default); SE(3) is rigid-only")
+    p.add_argument("--tuned", action="store_true",
+                   help="apply the TPU-throughput tuning from the round-4 "
+                        "on-chip sweep (core/config.py tune_for_tpu: "
+                        "in-step BA every 8, 512-slot tables, 6/4 LK "
+                        "iterations -- the benched operating point)")
     p.add_argument("--posegraph-every", type=int, default=8,
                    help="keyframe selection period (frames)")
     p.add_argument("--quiet", action="store_true")
@@ -120,6 +129,10 @@ def main(argv=None):
 
     spec = make_sequence(args)
     cfg = spec.config
+    if args.tuned:
+        from .core.config import tune_for_tpu
+
+        cfg = tune_for_tpu(cfg)
     if args.bootstrap:
         cfg = cfg.replace(bootstrap_method=args.bootstrap)
 
@@ -163,6 +176,7 @@ def main(argv=None):
         ba_window=args.ba_window,
         posegraph=args.posegraph,
         posegraph_every=args.posegraph_every,
+        posegraph_method=args.posegraph_method,
     )
 
     est = result.positions
