@@ -83,6 +83,10 @@ class KLTConfig:
     # latency (advisor round-2 'low': the cap is now documented here and
     # asserted in ops/klt_pallas2.py).
     num_iters: int = 20
+    # Mid-level (quarter-res) pass iteration cap for the pallas multilevel
+    # chain; 0 = same as num_iters.  The mid pass only pulls the coarse
+    # prior within the full-res pass's +-8 px guard.
+    mid_iters: int = 0
     eps: float = 0.01
     min_eig_threshold: float = 1e-4
     max_residual: float = 20.0  # tracks with mean abs photometric error above this fail

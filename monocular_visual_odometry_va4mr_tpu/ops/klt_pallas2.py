@@ -432,8 +432,8 @@ def track_features_pallas2(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("track_fn", "num_iters", "eps", "min_eig_threshold",
-                     "max_residual", "interpret"),
+    static_argnames=("track_fn", "num_iters", "mid_iters", "eps",
+                     "min_eig_threshold", "max_residual", "interpret"),
 )
 def track_multilevel(
     prev_pyr: Tuple[jnp.ndarray, ...],
@@ -443,6 +443,7 @@ def track_multilevel(
     *,
     track_fn=None,
     num_iters: int = 8,
+    mid_iters: int = 0,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
     max_residual: float = 20.0,
@@ -485,10 +486,13 @@ def track_multilevel(
     # Quarter-res pass: flows (and the prior) scale exactly by 1/mid_scale;
     # the half-texel position offset of box downsampling only shifts the
     # template sub-pixel phase, irrelevant for a prior that the full-res
-    # pass re-refines.
+    # pass re-refines.  ``mid_iters`` (if nonzero) caps this pass
+    # separately: it only needs to pull the coarse prior within the
+    # full-res pass's +-8 px guard, not converge to sub-pixel.
+    kw_mid = dict(kw, num_iters=mid_iters or num_iters)
     p_mid, ok_mid, _ = track_fn(
         (mid_p,), (mid_n,), pts_safe / mid_scale, valid,
-        prior=pred / mid_scale, **kw)
+        prior=pred / mid_scale, **kw_mid)
     flow_mid = (p_mid - pts_safe / mid_scale) * mid_scale
     prior_full = jnp.where(ok_mid[:, None], flow_mid, pred)
 

@@ -104,6 +104,7 @@ class VisualOdometry:
                 prev_pyr, next_pyr, pts, valid,
                 track_fn=fn,
                 num_iters=min(cfg.num_iters, 8),
+                mid_iters=min(cfg.mid_iters, 8),
                 eps=cfg.eps,
                 min_eig_threshold=cfg.min_eig_threshold,
                 max_residual=cfg.max_residual,

@@ -134,6 +134,18 @@ VARIANTS = {
         ba=dataclasses.replace(c.ba, every=6),
         klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4)),
         512, 512, 768),
+    # Round-4 second pass: cheaper mid-level LK + PnP refine.
+    "fast8m3": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=8),
+        klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4,
+                                mid_iters=3)),
+        512, 512, 768),
+    "fast8m3r3": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=8),
+        klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4,
+                                mid_iters=3),
+        pnp=dataclasses.replace(c.pnp, refine_iters=3)),
+        512, 512, 768),
 }
 
 
