@@ -285,6 +285,40 @@ class TestInStepBA:
         # a do-nothing BA pass).
         assert ate_ba < 0.7 * ate_plain, (ate_ba, ate_plain)
 
+    def test_streaming_blocks_match_single_scan(self, scene):
+        """run_streaming (state carried across fixed-shape scan blocks,
+        padded tail) must produce EXACTLY the single-scan trajectory —
+        the long-sequence production path (reference scale: 2761 frames,
+        main.py:17) may not change results."""
+        import jax
+        import jax.numpy as jnp
+
+        from monocular_visual_odometry_va4mr_tpu.pipeline import scan_driver
+
+        cfg = small_config(scene.image_shape)
+        vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
+        key = jax.random.PRNGKey(0)
+        frames = [jnp.asarray(synthetic.render_frame(scene, i), jnp.float32)
+                  for i in range(scene.num_frames)]
+        state0 = vo.bootstrap(frames[0], frames[2],
+                              jax.random.fold_in(key, 0),
+                              intermediate=frames[1:2])
+
+        images = jnp.stack(frames[3:])
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(3, scene.num_frames, dtype=jnp.int32))
+        _, outs_scan = scan_driver.run_block(vo, state0, images, keys)
+
+        # Block size 5 over 17 frames: two full blocks + padded tail.
+        stream = ((i, frames[i]) for i in range(3, scene.num_frames))
+        _, outs_stream, ids = scan_driver.run_streaming(
+            vo, state0, stream, key, block=5)
+        assert ids == list(range(3, scene.num_frames))
+        np.testing.assert_array_equal(np.asarray(outs_scan.T_CW),
+                                      np.asarray(outs_stream.T_CW))
+        np.testing.assert_array_equal(np.asarray(outs_scan.status),
+                                      np.asarray(outs_stream.status))
+
     def test_in_step_ba_in_scan(self, scene):
         """The BA-fused step must also run under lax.scan (the bench path)."""
         import dataclasses
