@@ -39,6 +39,24 @@ class LandmarkConfig:
     # the reference's fixed-landmark behavior.
     retriangulate: bool = True
     reanchor_age: int = 10
+    # Scale-locked re-triangulation: the periodic landmark re-triangulation
+    # exists to cancel accumulated KLT pixel drift (bearing error), but a
+    # full re-triangulation also REPLACES the landmark's depth with one
+    # measured over the (short) anchor baseline — and those depth
+    # refreshes random-walk the monocular scale.  With scale_lock the
+    # re-triangulated point keeps its bearing fix but its depth is pulled
+    # back toward the previous estimate, so bearing correction and depth
+    # estimation decouple: depth moves mainly through promotion
+    # (max-baseline) and windowed BA (gauge-anchored).
+    # Measured, 384-frame KITTI-res corridor (tools/bench_stream.py /
+    # exp_ate.py; reference ATE 23.6 on the same frames): full refresh
+    # (lock off) ATE 80.9; hard lock (blend 0) 23.8; blend 0.25 **7.5** —
+    # while the 95-frame bench ATE is unchanged (0.41 -> 0.42).
+    retri_scale_lock: bool = True
+    # Fraction of the NEW triangulated depth admitted per refresh
+    # (geometric blend: z = z_old^(1-b) * z_new^b).  0 = hard lock;
+    # 1 = the old full-refresh behavior.
+    retri_depth_blend: float = 0.25
 
 
 @dataclasses.dataclass(frozen=True)

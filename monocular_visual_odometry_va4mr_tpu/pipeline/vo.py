@@ -292,6 +292,25 @@ class VisualOdometry:
                 max_dist=cfg.landmarks.max_dist,
                 enforce_age=False,
             )
+            if cfg.landmarks.retri_scale_lock:
+                # Keep the re-triangulated BEARING, pull the depth back
+                # toward the previous estimate (geometric blend, exponent
+                # retri_depth_blend): rescaling along the current camera's
+                # ray so depth refreshes cannot random-walk the monocular
+                # scale (LandmarkConfig.retri_scale_lock).
+                z_old = state.lm_xyz @ T_CW[2, :3] + T_CW[2, 3]
+                z_new = X_re @ T_CW[2, :3] + T_CW[2, 3]
+                C = -T_CW[:3, :3].T @ T_CW[:3, 3]  # camera center, world
+                blend = cfg.landmarks.retri_depth_blend
+                z_new_safe = jnp.where(jnp.abs(z_new) > 1e-6, z_new, 1.0)
+                full_ratio = z_old / z_new_safe
+                depth_ok = (z_old > cfg.landmarks.min_dist) & (z_new > 1e-6)
+                ratio = jnp.where(depth_ok & (full_ratio > 0),
+                                  jnp.maximum(full_ratio, 1e-6)
+                                  ** (1.0 - blend),
+                                  1.0)
+                X_re = jnp.where(depth_ok[:, None],
+                                 C + (X_re - C) * ratio[:, None], X_re)
             lm_xyz_base = jnp.where((re_ok & lm_valid_kept)[:, None],
                                     X_re, state.lm_xyz)
 

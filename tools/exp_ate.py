@@ -140,6 +140,11 @@ VARIANTS = {
         klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4,
                                 mid_iters=3)),
         512, 512, 768),
+    "fast8a40": lambda c: _caps(c.replace(
+        ba=dataclasses.replace(c.ba, every=8),
+        klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4),
+        landmarks=dataclasses.replace(c.landmarks, reanchor_age=40)),
+        512, 512, 768),
     "fast8m3r3": lambda c: _caps(c.replace(
         ba=dataclasses.replace(c.ba, every=8),
         klt=dataclasses.replace(c.klt, num_iters=6, fb_iters=4,
