@@ -5,7 +5,15 @@ The headline bench times one 88-frame scan; the reference's real workload
 is 2761 KITTI frames (reference main.py:17).  This measures the SUSTAINED
 rate — state carried across fixed-shape scan blocks, host stacking/upload
 of block k+1 overlapped with device compute of block k — over a long
-rendered sequence, health-gated like bench.py.
+rendered sequence, health-gated like bench.py (ATE bound = the reference's
+own long-run ATE on identical frames: monocular scale drift dominates
+everyone at this length).
+
+NOTE on sustained_fps in THIS container: frames reach the chip through the
+axon tunnel, so the number is H2D-transfer-bound (~18 fps for 1.9 MB
+frames), not device-bound — the same executable sustains 360+ fps when
+frames are device-resident (bench.py).  On local PCIe/HBM attach the
+upload is ~0.2 ms/frame and compute dominates.
 
 Usage:  python tools/bench_stream.py [--frames 384] [--block 64]
 """
