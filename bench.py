@@ -63,11 +63,13 @@ def bench_ours(scene, frames):
     # VisualOdometryPipeLine.py:326-373 is frame-to-frame PnP only).
     cfg = kitti_tuned_config().replace(image_shape=scene.image_shape,
                                        bootstrap_method="klt")
-    # Value-noise texture has a wider corner-response spread than street
-    # imagery; 0.03 is the reference's own low-contrast setting (Malaga,
-    # main.py:60) and is given to BOTH pipelines (see bench_reference).
+    # The mip-filtered value-noise texture (round 5: no aliasing shimmer,
+    # realistic contrast falloff with distance) has a wider corner-response
+    # spread than street imagery; 0.01 keeps both pipelines at a
+    # street-imagery-like ~600-1200 corners/frame and is given to BOTH
+    # (see bench_reference).
     cfg = cfg.replace(
-        detector=dataclasses.replace(cfg.detector, quality_level=0.03))
+        detector=dataclasses.replace(cfg.detector, quality_level=0.01))
     vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
     key = jax.random.PRNGKey(0)
 
@@ -148,7 +150,7 @@ def bench_reference(scene, frames):
     from monocular_visual_odometry_va4mr_tpu.evalx import ate
 
     res = run_reference(scene, frames, bootstrap=(0, BOOTSTRAP_STRIDE),
-                        quality=0.03, reproj_err=8.0, max_dist=150)
+                        quality=0.01, reproj_err=8.0, max_dist=150)
     ref_ate = float("nan")
     if res["completed"] >= 8:
         gt = scene.poses_WC[res["frame_ids"], :3, 3]

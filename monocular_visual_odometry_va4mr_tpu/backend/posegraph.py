@@ -87,7 +87,10 @@ def optimize(graph: PoseGraph, *, iters: int = 10, damping: float = 1e-6):
             r = _edge_residual(z, z, Ti, Tj, Tm)
             Ji = jax.jacobian(_edge_residual, argnums=0)(z, z, Ti, Tj, Tm)
             Jj = jax.jacobian(_edge_residual, argnums=1)(z, z, Ti, Tj, Tm)
-            return r * w, Ji * w, Jj * w
+            # sqrt(w): normal equations weight edges by w, matching
+            # graph_cost (advisor round-4).
+            sw = jnp.sqrt(w)
+            return r * sw, Ji * sw, Jj * sw
 
         r, Ji, Jj = jax.vmap(edge_terms)(
             graph.edge_i, graph.edge_j, graph.T_meas, graph.weight

@@ -102,7 +102,11 @@ def optimize(graph: Sim3Graph, *, iters: int = 10, damping: float = 1e-6):
             r = _edge_residual(z, z, Si, Sj, Sm)
             Ji = jax.jacobian(_edge_residual, argnums=0)(z, z, Si, Sj, Sm)
             Jj = jax.jacobian(_edge_residual, argnums=1)(z, z, Si, Sj, Sm)
-            return r * w, Ji * w, Jj * w
+            # sqrt(w) on residual AND Jacobians -> the normal equations
+            # weight each edge by w, consistent with graph_cost (advisor
+            # round-4: scaling by w weighted the solve by w^2).
+            sw = jnp.sqrt(w)
+            return r * sw, Ji * sw, Jj * sw
 
         r, Ji, Jj = jax.vmap(edge_terms)(
             graph.edge_i, graph.edge_j, graph.S_meas, graph.weight

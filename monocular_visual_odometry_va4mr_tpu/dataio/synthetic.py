@@ -191,8 +191,82 @@ def make_orbit_scene(
                          pillars, seed)
 
 
+def make_loop_scene(
+    seed: int = 0,
+    num_frames: int = 2761,
+    image_shape=(376, 1241),
+    K: np.ndarray = None,
+    laps: float = 3.0,
+    step: float = 1.0,
+    ground_y: float = 1.65,
+    num_pillars: int = 36,
+    path_clearance: float = 3.0,
+    margin: float = 14.0,
+) -> TexturedScene:
+    """Loop-y reference-scale world: the camera drives ``laps`` laps around a
+    circle inside a closed textured room, revisiting every viewpoint once per
+    lap — the scene for reference-scale (2761-frame, reference main.py:17)
+    streaming runs WITH loop closures, which the corridor scenes never
+    produce.  Circle radius follows from path length: R = step*F/(laps*2*pi)
+    (~147 m at the 2761-frame default — city-block scale).
+
+    World: textured ground plane, four walls (x = +-room_half via the
+    TexturedScene wall planes; z = const ends as two wall-sized "pillar"
+    quads), plus scattered pillar quads inside and outside the circular
+    path with ``path_clearance`` m of room so the lane stays drivable.
+    """
+    rng = np.random.default_rng(seed)
+    H, W = image_shape
+    R = step * num_frames / (laps * 2.0 * np.pi)
+    room_half = R + margin
+    if K is None:
+        if image_shape == (376, 1241):
+            K = np.array([[718.856, 0.0, 607.1928],
+                          [0.0, 718.856, 185.2157],
+                          [0.0, 0.0, 1.0]])  # KITTI 05 (reference utils.py:22-24)
+        else:
+            K = np.array([[0.7 * W, 0.0, W / 2.0],
+                          [0.0, 0.7 * W, H / 2.0],
+                          [0.0, 0.0, 1.0]])
+
+    # Circle center at (0, 0, R); camera starts at origin heading +z and
+    # turns left: pos = C + R*(sin th, 0, -cos th), yaw = th.
+    poses = np.zeros((num_frames, 4, 4))
+    for i in range(num_frames):
+        th = 2.0 * np.pi * laps * i / num_frames
+        cy, sy = np.cos(th), np.sin(th)
+        poses[i, :3, :3] = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        poses[i, :3, 3] = np.array([R * sy, 0.0, R * (1.0 - cy)])
+        poses[i, 3, 3] = 1.0
+
+    # End walls as two wall-sized z-plane quads (renderer treats pillars as
+    # bounded z = const planes, so no new surface type is needed).
+    end_walls = np.array([
+        [-margin + 2.0, -room_half, room_half, -6.0, ground_y],
+        [2.0 * R + margin - 2.0, -room_half, room_half, -6.0, ground_y],
+    ])
+    # Scattered pillars: radial offset from the path circle keeps the lane
+    # clear; half inside the circle, half outside.
+    phi = rng.uniform(0.0, 2.0 * np.pi, num_pillars)
+    inside = rng.random(num_pillars) < 0.5
+    r_in = R - rng.uniform(path_clearance, R * 0.8, num_pillars)
+    r_out = R + rng.uniform(path_clearance, margin - 3.0, num_pillars)
+    r_p = np.where(inside, np.maximum(r_in, 2.0), r_out)
+    px = r_p * np.sin(phi)
+    pz = R - r_p * np.cos(phi)
+    pw = rng.uniform(0.8, 2.5, num_pillars)
+    top = rng.uniform(-5.0, -2.0, num_pillars)
+    pillars = np.concatenate([
+        end_walls,
+        np.stack([pz, px - pw / 2, px + pw / 2, top,
+                  np.full(num_pillars, ground_y)], axis=1),
+    ])
+    return TexturedScene(K, poses, image_shape, room_half, ground_y,
+                         pillars.astype(np.float64), seed)
+
+
 # Bump when any renderer/scene-generator change invalidates cached frames.
-SCENE_VERSION = 2
+SCENE_VERSION = 3
 
 
 def render_all_cached(scene, tag: str, cache_dir: str = "/tmp/mvo_scenes"):
@@ -247,14 +321,23 @@ def _value_noise(u, v, seed, octaves=5, base_cell=2.0, footprint=None):
 
     out = np.zeros(np.broadcast(u, v).shape, np.float32)
     total_w = np.zeros_like(out)
+    # The octave band spans [8*base_cell .. base_cell/2^(octaves-4)]: three
+    # octaves COARSER than base_cell so far surfaces keep resolvable
+    # meter-scale structure (real facades/roads have multi-scale texture;
+    # with a fine-only band everything beyond ~50 m faded to flat), with
+    # the same finest wavelength as the original 6-octave band.
     for o in range(octaves):
-        cell = base_cell / (2.0**o)  # wavelength of this octave
+        cell = 8.0 * base_cell / (2.0**o)  # wavelength of this octave
         if footprint is not None:
-            # Smoothly kill octaves finer than ~the pixel footprint.
-            w = np.clip(2.0 * (cell / (footprint + 1e-9)) - 1.0, 0.0, 1.0)
+            # Smoothly kill octaves finer than the Nyquist limit: full
+            # weight only for wavelengths >= 4 footprints, zero below 2
+            # (one wavelength needs >= 2 pixel footprints to be resolvable;
+            # the previous cutoff at 1 footprint let through 1.4-px/cycle
+            # octaves on far walls -> full-contrast aliasing shimmer).
+            w = np.clip(cell / (2.0 * footprint + 1e-9) - 1.0, 0.0, 1.0)
         else:
             w = np.ones_like(out)
-        amp = 0.55**o
+        amp = 0.95**o
         x = u / cell
         y = v / cell
         ix = np.floor(x).astype(np.int64)
@@ -272,7 +355,15 @@ def _value_noise(u, v, seed, octaves=5, base_cell=2.0, footprint=None):
                + v10 * (1 - sx) * sy + v11 * sx * sy)
         out += amp * w * (val - 0.5)
         total_w += amp * w
-    return out / np.maximum(total_w, 1e-6)
+    # Normalization floor: when the pixel footprint swallows most octaves
+    # (far / grazing surfaces), contrast must FADE, not renormalize back to
+    # unit amplitude — a 1e-6 floor amplified the residual noise into
+    # full-contrast per-pixel aliasing shimmer on distant walls (visible at
+    # the loop-room scale; no real camera exhibits it).  The floor is a
+    # fraction of the UNattenuated amplitude sum so the fade point is
+    # independent of the amp schedule.
+    full_w = (1.0 - 0.95**octaves) / (1.0 - 0.95)
+    return out / np.maximum(total_w, 0.35 * full_w)
 
 
 @dataclasses.dataclass
@@ -414,7 +505,7 @@ def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
         fp = (tf / f) * (slope.ravel()[idx] if isinstance(slope, np.ndarray)
                          else slope)
         shade = _value_noise(u_tex.ravel()[idx], v_tex.ravel()[idx], tex_seed,
-                             octaves=6, base_cell=base_cell, footprint=fp)
+                             octaves=9, base_cell=base_cell, footprint=fp)
         # Saturating contrast curve: raw value noise is too smooth for a DoG
         # detector (measured: cv2 SIFT finds ~160 kp/frame raw vs ~1200 with
         # gain 2.5 — the latter matches real street-imagery statistics).

@@ -143,7 +143,9 @@ class VisualOdometry:
                 back_pts, back_ok, _ = klt_pallas2.track_features_pallas2(
                     prev_pyr, next_pyr, new_pts, ok,
                     prior=pts - new_pts,
-                    num_iters=min(cfg.num_iters, cfg.fb_iters),
+                    # min(..., 8): the Pallas kernels' ±8 px drift guard makes
+                    # iterations beyond 8 pure latency (KLTConfig doc).
+                    num_iters=min(cfg.num_iters, cfg.fb_iters, 8),
                     eps=cfg.eps,
                     min_eig_threshold=cfg.min_eig_threshold,
                     max_residual=cfg.max_residual,
@@ -153,7 +155,7 @@ class VisualOdometry:
                 back_pts, back_ok, _ = klt_pallas.track_features_pallas(
                     next_pyr, prev_pyr, new_pts, ok,
                     prior=pts - new_pts,
-                    num_iters=min(cfg.num_iters, cfg.fb_iters),
+                    num_iters=min(cfg.num_iters, cfg.fb_iters, 8),
                     eps=cfg.eps,
                     min_eig_threshold=cfg.min_eig_threshold,
                     max_residual=cfg.max_residual,

@@ -55,7 +55,7 @@ def main():
     cfg = kitti_tuned_config().replace(image_shape=scene.image_shape,
                                        bootstrap_method="klt")
     cfg = cfg.replace(
-        detector=dataclasses.replace(cfg.detector, quality_level=0.03))
+        detector=dataclasses.replace(cfg.detector, quality_level=0.01))
     vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
     key = jax.random.PRNGKey(0)
 
@@ -95,7 +95,7 @@ def main():
     sys.path.insert(0, "tools")
     from run_reference import run_reference
 
-    ref = run_reference(scene, frames, bootstrap=(0, b), quality=0.03,
+    ref = run_reference(scene, frames, bootstrap=(0, b), quality=0.01,
                         reproj_err=8.0, max_dist=150)
     ref_ate = float("nan")
     if ref["completed"] >= 8:
