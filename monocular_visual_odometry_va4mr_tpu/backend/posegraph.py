@@ -72,14 +72,19 @@ def graph_cost(graph: PoseGraph) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def optimize(graph: PoseGraph, *, iters: int = 10, damping: float = 1e-6):
+def optimize(graph: PoseGraph, *, iters: int = 10, damping: float = 1e-6,
+             robust_delta: float = None):
     """Gauss-Newton pose-graph optimization; node 0 is the gauge anchor.
 
-    Returns (graph with refined T_CW, costs (iters,))."""
+    Returns (graph with refined T_CW, costs (iters,)).
+    ``robust_delta``: optional Huber threshold on the per-edge residual
+    norm (IRLS) bounding the influence of outlier (wrong-loop) edges."""
     N = graph.T_CW.shape[0]
+    rb_delta = jnp.float32(1e30 if robust_delta is None else robust_delta)
 
-    def gn(T_CW, _):
+    def gn(T_CW, it):
         z = jnp.zeros(6)
+        delta_it = rb_delta
 
         def edge_terms(i, j, Tm, w):
             Ti = T_CW[i]
@@ -88,8 +93,11 @@ def optimize(graph: PoseGraph, *, iters: int = 10, damping: float = 1e-6):
             Ji = jax.jacobian(_edge_residual, argnums=0)(z, z, Ti, Tj, Tm)
             Jj = jax.jacobian(_edge_residual, argnums=1)(z, z, Ti, Tj, Tm)
             # sqrt(w): normal equations weight edges by w, matching
-            # graph_cost (advisor round-4).
-            sw = jnp.sqrt(w)
+            # graph_cost (advisor round-4); Huber IRLS factor composes
+            # the same way.
+            w_r = jnp.minimum(1.0, delta_it / jnp.maximum(
+                jnp.linalg.norm(r), 1e-12))
+            sw = jnp.sqrt(w * w_r)
             return r * sw, Ji * sw, Jj * sw
 
         r, Ji, Jj = jax.vmap(edge_terms)(
@@ -123,5 +131,5 @@ def optimize(graph: PoseGraph, *, iters: int = 10, damping: float = 1e-6):
         cost = 0.5 * jnp.sum(jnp.sum(r * r, -1))
         return T_new, cost
 
-    T_out, costs = jax.lax.scan(gn, graph.T_CW, None, length=iters)
+    T_out, costs = jax.lax.scan(gn, graph.T_CW, jnp.arange(iters))
     return graph._replace(T_CW=T_out), costs

@@ -88,13 +88,22 @@ def graph_cost(graph: Sim3Graph) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def optimize(graph: Sim3Graph, *, iters: int = 10, damping: float = 1e-6):
+def optimize(graph: Sim3Graph, *, iters: int = 10, damping: float = 1e-6,
+             robust_delta: float = None):
     """Gauss-Newton Sim(3) pose-graph optimization; node 0 is the gauge
-    anchor (pose + scale).  Returns (graph with refined S_CW, costs)."""
-    N = graph.S_CW.shape[0]
+    anchor (pose + scale).  Returns (graph with refined S_CW, costs).
 
-    def gn(S_CW, _):
+    ``robust_delta``: optional Huber threshold on the per-edge residual
+    norm (IRLS): edges with ||r|| <= delta keep full weight, larger
+    residuals are downweighted by delta/||r|| — so one confidently-wrong
+    loop edge (repetitive structure) cannot drag the whole graph, while
+    consistent odometry/loop edges are untouched."""
+    N = graph.S_CW.shape[0]
+    rb_delta = jnp.float32(1e30 if robust_delta is None else robust_delta)
+
+    def gn(S_CW, it):
         z = jnp.zeros(7)
+        delta_it = rb_delta
 
         def edge_terms(i, j, Sm, w):
             Si = S_CW[i]
@@ -104,8 +113,11 @@ def optimize(graph: Sim3Graph, *, iters: int = 10, damping: float = 1e-6):
             Jj = jax.jacobian(_edge_residual, argnums=1)(z, z, Si, Sj, Sm)
             # sqrt(w) on residual AND Jacobians -> the normal equations
             # weight each edge by w, consistent with graph_cost (advisor
-            # round-4: scaling by w weighted the solve by w^2).
-            sw = jnp.sqrt(w)
+            # round-4: scaling by w weighted the solve by w^2).  The Huber
+            # IRLS factor multiplies the same way.
+            w_r = jnp.minimum(1.0, delta_it / jnp.maximum(
+                jnp.linalg.norm(r), 1e-12))
+            sw = jnp.sqrt(w * w_r)
             return r * sw, Ji * sw, Jj * sw
 
         r, Ji, Jj = jax.vmap(edge_terms)(
@@ -140,10 +152,71 @@ def optimize(graph: Sim3Graph, *, iters: int = 10, damping: float = 1e-6):
 
     # Full-f32 dots, same rationale as backend/ba.py run_ba.
     with jax.default_matmul_precision("float32"):
-        S_out, costs = jax.lax.scan(gn, graph.S_CW, None, length=iters)
+        S_out, costs = jax.lax.scan(gn, graph.S_CW,
+                                    jnp.arange(iters))
     return graph._replace(S_CW=S_out), costs
 
 
 def corrected_poses(graph: Sim3Graph) -> jnp.ndarray:
     """(N, 4, 4) SE(3) camera extrinsics from the optimized Sim(3) nodes."""
     return jax.vmap(lie.sim3_to_se3)(graph.S_CW)
+
+
+def edge_residual_norms(graph: Sim3Graph) -> jnp.ndarray:
+    """(E,) unweighted residual norms at the graph's current nodes."""
+    z = jnp.zeros(7)
+    r = jax.vmap(
+        lambda i, j, Sm: _edge_residual(z, z, graph.S_CW[i], graph.S_CW[j],
+                                        Sm)
+    )(graph.edge_i, graph.edge_j, graph.S_meas)
+    return jnp.linalg.norm(r, axis=-1)
+
+
+def optimize_consistent(graph: Sim3Graph, *, n_odo: int, iters: int = 15,
+                        damping: float = 1e-4, robust_delta: float = 0.5,
+                        suspect_factor: float = 1.5,
+                        suspect_floor: float = 0.15, gain: float = 0.5,
+                        verbose: bool = False):
+    """Huber-robust optimize + leave-one-out consistency pruning of loop
+    edges (edges with index >= ``n_odo``).
+
+    A Huber kernel BOUNDS a wrong loop edge's influence but cannot remove
+    it: at the corrupted equilibrium the wrong edge's own residual can look
+    moderate while its error hides as stress spread over the odometry
+    edges.  The discriminator that works is consistency: re-optimizing
+    WITHOUT a genuinely-wrong edge collapses the total cost (everything
+    else agrees), while removing a correct edge barely changes it.  Only
+    suspects (loop residual > max(floor, factor * median)) pay the extra
+    solve, so the common all-edges-good case costs one optimization.
+
+    Returns (optimized graph, costs, dropped (n_loops,) bool)."""
+    import numpy as np
+
+    out, costs = optimize(graph, iters=iters, damping=damping,
+                          robust_delta=robust_delta)
+    rn = np.asarray(edge_residual_norms(out))
+    loop_rn = rn[n_odo:]
+    dropped = np.zeros(len(loop_rn), bool)
+    if len(loop_rn) == 0:
+        return out, costs, dropped
+    med = float(np.median(loop_rn))
+    thresh = max(suspect_floor, suspect_factor * med)
+    suspects = [e for e in range(len(loop_rn)) if loop_rn[e] > thresh]
+    base_cost = float(costs[-1])
+    for e in suspects:
+        w2 = graph.weight.at[n_odo + e].set(0.0)  # weight 0 removes edge
+        out2, c2 = optimize(graph._replace(weight=w2), iters=iters,
+                            damping=damping, robust_delta=robust_delta)
+        if float(c2[-1]) < gain * base_cost:
+            dropped[e] = True
+            if verbose:
+                print(f"posegraph: dropped inconsistent loop edge {e} "
+                      f"(residual {loop_rn[e]:.3f}, cost "
+                      f"{base_cost:.3f} -> {float(c2[-1]):.3f})")
+    if dropped.any():
+        w = graph.weight
+        for e in np.flatnonzero(dropped):
+            w = w.at[n_odo + int(e)].set(0.0)
+        out, costs = optimize(graph._replace(weight=w), iters=iters,
+                              damping=damping, robust_delta=robust_delta)
+    return out, costs, dropped

@@ -60,7 +60,7 @@ def _bit(v, s):
 
 def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
                  slab, sems, *, num_iters, eps, min_eig_threshold,
-                 max_residual, n_prog, swap_planes=False):
+                 max_residual, n_prog, swap_planes=False, win=WIN):
     """One program: BF features, fully batched.
 
     meta_ref  (1, 2, BF, 2) SMEM int32: packed (y0/8 | x0/128 << 8 | c << 12)
@@ -135,11 +135,13 @@ def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
     P0 = packed[:, 0]  # (G, R, 128) template plane
     P1 = packed[:, 1]  # search plane
 
-    # Window mask: rows 0..14 of the 16-row slice, in-slot lanes TGT..TGT+14.
+    # Window mask: rows 0..win-1 of the 16-row slice, in-slot lanes
+    # TGT..TGT+win-1 (win <= 15 keeps window + the +-8 drift guard inside
+    # the 32-lane slot pitch).
     row16 = lax.broadcasted_iota(jnp.int32, (1, 16, 128), 1)
     lane16 = lax.broadcasted_iota(jnp.int32, (1, 16, 128), 2)
     il = jnp.mod(lane16, PITCH)
-    wmask = ((row16 < WIN) & (il >= TGT) & (il < TGT + WIN)).astype(jnp.float32)
+    wmask = ((row16 < win) & (il >= TGT) & (il < TGT + win)).astype(jnp.float32)
 
     # Block-diagonal group reduce-broadcast matrix (128, 128).
     ri = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -210,10 +212,10 @@ def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
         frozen = frozen | ((d0 * d0 + d1 * d1) < eps * eps)
 
     cur = sample_window(gy, gx)
-    resid = gsum(jnp.abs(cur - WT)) / (WIN * WIN)
+    resid = gsum(jnp.abs(cur - WT)) / (win * win)
 
     drift_ok = ((gx > -7.99) & (gx < 7.99) & (gy > -7.99) & (gy < 7.99))
-    eig_ok = (min_eig / (WIN * WIN)) > min_eig_threshold
+    eig_ok = (min_eig / (win * win)) > min_eig_threshold
     ok = (drift_ok & eig_ok & (resid < max_residual)
           & (fvec_ref[:, 4, :] > 0.5))
 
@@ -230,17 +232,17 @@ def _klt2_kernel(meta_ref, regv_ref, fvec_ref, copies_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_iters", "eps", "min_eig_threshold", "max_residual",
-                     "interpret", "swap_planes"),
+                     "interpret", "swap_planes", "win"),
 )
 def _run_klt2(copies, meta, regv, fvec, *, num_iters, eps, min_eig_threshold,
-              max_residual, interpret=False, swap_planes=False):
+              max_residual, interpret=False, swap_planes=False, win=WIN):
     N = regv.shape[0] // 2
     n_prog = N // BF
     G = BF // 4
     kernel = functools.partial(
         _klt2_kernel, num_iters=num_iters, eps=eps,
         min_eig_threshold=min_eig_threshold, max_residual=max_residual,
-        n_prog=n_prog, swap_planes=swap_planes,
+        n_prog=n_prog, swap_planes=swap_planes, win=win,
     )
     return pl.pallas_call(
         kernel,
@@ -265,12 +267,13 @@ def _run_klt2(copies, meta, regv, fvec, *, num_iters, eps, min_eig_threshold,
     )(meta, regv, fvec, copies)
 
 
-def _prep_plane(pts_xy, H, W):
-    """Per-plane DMA/registration metadata for window top-left = pts - 7.
+def _prep_plane(pts_xy, H, W, win=WIN):
+    """Per-plane DMA/registration metadata for window top-left =
+    pts - (win-1)/2.
 
     Returns (y0, x0, c, sub, r, fy, fx, tfloor_xy) — all (N,) except
     tfloor_xy (N, 2)."""
-    t = pts_xy - (WIN - 1) / 2.0 + PAD  # padded coords of window top-left
+    t = pts_xy - (win - 1) / 2.0 + PAD  # padded coords of window top-left
     tf = jnp.floor(t)
     fx = t[:, 0] - tf[:, 0]
     fy = t[:, 1] - tf[:, 1]
@@ -293,7 +296,7 @@ def _lane_rep(vals, n_rep):
 @functools.partial(
     jax.jit,
     static_argnames=("num_iters", "eps", "min_eig_threshold", "max_residual",
-                     "interpret", "swap_planes"),
+                     "interpret", "swap_planes", "win"),
 )
 def track_features_pallas2(
     prev_pyr: Tuple[jnp.ndarray, ...],
@@ -308,6 +311,7 @@ def track_features_pallas2(
     prior: jnp.ndarray = None,
     interpret: bool = False,
     swap_planes: bool = False,
+    win: int = WIN,
 ):
     """Drop-in equivalent of klt.track_features (cv2.calcOpticalFlowPyrLK,
     reference VisualOdometryPipeLine.py:281) on the packed Pallas kernel.
@@ -317,11 +321,20 @@ def track_features_pallas2(
     ``prior``: optional (N, 2) per-feature flow prior in px of the level-0
     images; skips the internal coarse-volume prior (see track_multilevel).
 
+    ``win``: tracking window side (odd, 5..15 — the reference's winSize,
+    main.py:36/66/96 is 15 for every dataset).  Windows above 15 do not fit
+    the 32-lane packing pitch with the +-8 px drift guard; the caller
+    (pipeline/vo.py) rejects them loudly and points at the 'xla' backend.
+
     ``swap_planes``: track next->prev (template = ``next_pyr``, search =
     ``prev_pyr``) while still building the lane-shifted copies tensor from
     the canonical (prev, next) pair — a forward-backward pair of calls then
     shares ONE copies build through XLA common-subexpression elimination
     (the build is ~22 MB of HBM writes per call at KITTI resolution)."""
+    if win % 2 == 0 or not 5 <= win <= 15:
+        raise ValueError(
+            f"klt_pallas2 window must be odd and in [5, 15]; got {win}. "
+            "Use the 'xla' backend for larger windows.")
     i0 = prev_pyr[0]
     i1 = next_pyr[0]
     H, W = i0.shape
@@ -376,8 +389,8 @@ def track_features_pallas2(
                    mode="edge")
     copies = jnp.stack([base[:, :, 32 * cc:32 * cc + Wc] for cc in range(4)])
 
-    y0p, x0p, cp, subp, rp, fyp, fxp, _ = _prep_plane(pts_s, H, W)
-    y0q, x0q, cq, subq, rq, fyq, fxq, tfq = _prep_plane(q, H, W)
+    y0p, x0p, cp, subp, rp, fyp, fxp, _ = _prep_plane(pts_s, H, W, win)
+    y0q, x0q, cq, subq, rq, fyq, fxq, tfq = _prep_plane(q, H, W, win)
 
     # Packed DMA descriptors (y0/8 | x0/128 << 8 | c << 12), one int32 per
     # (feature, plane), arranged (n_prog, 2, BF, 2) where [:, 1] is the NEXT
@@ -407,7 +420,7 @@ def track_features_pallas2(
     out = _run_klt2(copies, meta, regv, fvec, num_iters=num_iters, eps=eps,
                     min_eig_threshold=min_eig_threshold,
                     max_residual=max_residual, interpret=interpret,
-                    swap_planes=swap_planes)
+                    swap_planes=swap_planes, win=win)
 
     vals = out.reshape(N // 4, 8, 4, 32)[:, :, :, 0]  # (N/4, 8, 4)
     vals = vals.transpose(0, 2, 1).reshape(N, 8)
@@ -415,11 +428,11 @@ def track_features_pallas2(
 
     # Tracked position: registered integer origin + g + window half-span,
     # back in unpadded coords.
-    new_x = tfq[:, 0] + gx + (WIN - 1) / 2.0 - PAD
-    new_y = tfq[:, 1] + gy + (WIN - 1) / 2.0 - PAD
+    new_x = tfq[:, 0] + gx + (win - 1) / 2.0 - PAD
+    new_y = tfq[:, 1] + gy + (win - 1) / 2.0 - PAD
     new_pts = jnp.stack([new_x, new_y], axis=-1)
 
-    rwin = (WIN - 1) // 2
+    rwin = (win - 1) // 2
     inb = ((new_x >= rwin) & (new_x <= W - 1 - rwin)
            & (new_y >= rwin) & (new_y <= H - 1 - rwin))
     # Template window must be fully inside the (edge-padded) image for the
@@ -433,7 +446,8 @@ def track_features_pallas2(
 @functools.partial(
     jax.jit,
     static_argnames=("track_fn", "num_iters", "mid_iters", "eps",
-                     "min_eig_threshold", "max_residual", "interpret"),
+                     "min_eig_threshold", "max_residual", "interpret",
+                     "win"),
 )
 def track_multilevel(
     prev_pyr: Tuple[jnp.ndarray, ...],
@@ -448,6 +462,7 @@ def track_multilevel(
     min_eig_threshold: float = 1e-4,
     max_residual: float = 20.0,
     interpret: bool = False,
+    win: int = WIN,
 ):
     """Coarse-to-fine Pallas tracking: /16 cost-volume prior -> LK at the
     quarter-resolution level -> LK at full resolution.
@@ -482,6 +497,8 @@ def track_multilevel(
     kw = dict(num_iters=num_iters, eps=eps,
               min_eig_threshold=min_eig_threshold,
               max_residual=max_residual, interpret=interpret)
+    if track_fn is track_features_pallas2:
+        kw["win"] = win
 
     # Quarter-res pass: flows (and the prior) scale exactly by 1/mid_scale;
     # the half-texel position offset of box downsampling only shifts the

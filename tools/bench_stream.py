@@ -67,15 +67,15 @@ def main():
 
     # Warm the block executable (compile outside the timed region).
     warm = ((i, frames[i]) for i in range(b + 1, b + 1 + args.block))
-    state, _, _ = scan_driver.run_streaming(vo, state, warm, key,
-                                            block=args.block)
+    state, _, _, _ = scan_driver.run_streaming(vo, state, warm, key,
+                                               block=args.block)
     jax.block_until_ready(state.T_CW)
 
     start = b + 1 + args.block
     stream = ((i, frames[i]) for i in range(start, N))
     t0 = time.perf_counter()
-    state, outs, frame_ids = scan_driver.run_streaming(
-        vo, state, stream, key, block=args.block)
+    state, outs, frame_ids, sinfo = scan_driver.run_streaming(
+        vo, state, stream, key, block=args.block, recover=True)
     jax.block_until_ready(outs.T_CW)
     dt = time.perf_counter() - t0
     n = len(frame_ids)
