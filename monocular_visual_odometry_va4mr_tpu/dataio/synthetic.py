@@ -199,7 +199,7 @@ def make_loop_scene(
     laps: float = 3.0,
     step: float = 1.0,
     ground_y: float = 1.65,
-    num_pillars: int = 36,
+    num_pillars: int = 240,
     path_clearance: float = 3.0,
     margin: float = 14.0,
 ) -> TexturedScene:
@@ -212,8 +212,13 @@ def make_loop_scene(
 
     World: textured ground plane, four walls (x = +-room_half via the
     TexturedScene wall planes; z = const ends as two wall-sized "pillar"
-    quads), plus scattered pillar quads inside and outside the circular
-    path with ``path_clearance`` m of room so the lane stays drivable.
+    quads), plus pillar quads LINING the circular lane on both sides like
+    building fronts (plus a scattered far-field population).  The lane-
+    lining density matters: a first cut with 36 pillars over the 2.9 km
+    path left almost no near-field structure — all strong corners sat
+    beyond 100 m, monocular scale random-walked 5x within 150 frames and
+    bootstrap triangulation starved (street scenes keep structure within
+    5-30 m essentially continuously).
     """
     rng = np.random.default_rng(seed)
     H, W = image_shape
@@ -229,44 +234,63 @@ def make_loop_scene(
                           [0.0, 0.7 * W, H / 2.0],
                           [0.0, 0.0, 1.0]])
 
-    # Circle center at (0, 0, R); camera starts at origin heading +z and
-    # turns left: pos = C + R*(sin th, 0, -cos th), yaw = th.
+    # Circle centered at the origin; camera starts at (-R, 0, 0) heading
+    # +z and turns right: pos(th) = R*(-cos th, 0, sin th), whose tangent
+    # (sin th, 0, cos th) EQUALS the yaw-th heading — the camera drives
+    # forward along the lane.  (A first cut used pos=(R sin th, 0,
+    # R(1-cos th)) with yaw=th, whose tangent is perpendicular to the
+    # heading: the camera strafed sideways for the whole lap.)
     poses = np.zeros((num_frames, 4, 4))
     for i in range(num_frames):
         th = 2.0 * np.pi * laps * i / num_frames
         cy, sy = np.cos(th), np.sin(th)
         poses[i, :3, :3] = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-        poses[i, :3, 3] = np.array([R * sy, 0.0, R * (1.0 - cy)])
+        poses[i, :3, 3] = np.array([-R * cy, 0.0, R * sy])
         poses[i, 3, 3] = 1.0
 
     # End walls as two wall-sized z-plane quads (renderer treats pillars as
-    # bounded z = const planes, so no new surface type is needed).
+    # bounded axis-aligned planes, so no new surface type is needed).
     end_walls = np.array([
-        [-margin + 2.0, -room_half, room_half, -6.0, ground_y],
-        [2.0 * R + margin - 2.0, -room_half, room_half, -6.0, ground_y],
+        [-room_half + 2.0, -room_half, room_half, -6.0, ground_y],
+        [room_half - 2.0, -room_half, room_half, -6.0, ground_y],
     ])
-    # Scattered pillars: radial offset from the path circle keeps the lane
-    # clear; half inside the circle, half outside.
-    phi = rng.uniform(0.0, 2.0 * np.pi, num_pillars)
-    inside = rng.random(num_pillars) < 0.5
-    r_in = R - rng.uniform(path_clearance, R * 0.8, num_pillars)
-    r_out = R + rng.uniform(path_clearance, margin - 3.0, num_pillars)
-    r_p = np.where(inside, np.maximum(r_in, 2.0), r_out)
-    px = r_p * np.sin(phi)
-    pz = R - r_p * np.cos(phi)
-    pw = rng.uniform(0.8, 2.5, num_pillars)
-    top = rng.uniform(-5.0, -2.0, num_pillars)
-    pillars = np.concatenate([
-        end_walls,
-        np.stack([pz, px - pw / 2, px + pw / 2, top,
-                  np.full(num_pillars, ground_y)], axis=1),
-    ])
+    # Lane-lining pillars (4/5): staggered along the path on both sides at
+    # 3-9 m lateral offset — the "building fronts" that keep near-field
+    # structure in view continuously.  Far-field population (1/5):
+    # scattered over the room interior.  Each pillar gets the axis
+    # orientation (x-plane or z-plane quad) closest to FACING the local
+    # lane direction, so fronts stay visible all around the lap.
+    n_lane = (num_pillars * 4) // 5
+    n_far = num_pillars - n_lane
+    phi_l = np.sort(rng.uniform(0.0, 2.0 * np.pi, n_lane))
+    side = rng.choice([-1.0, 1.0], n_lane)
+    off = rng.uniform(path_clearance, path_clearance + 6.0, n_lane)
+    r_l = R + side * off
+    phi_f = rng.uniform(0.0, 2.0 * np.pi, n_far)
+    r_f = np.maximum(R - rng.uniform(12.0, R * 0.85, n_far), 2.0)
+    phi = np.concatenate([phi_l, phi_f])
+    r_p = np.concatenate([r_l, r_f])
+    n_tot = n_lane + n_far
+    px = -r_p * np.cos(phi)
+    pz = r_p * np.sin(phi)
+    pw = rng.uniform(1.0, 3.5, n_tot)
+    top = rng.uniform(-9.0, -2.5, n_tot)  # 4-10.5 m tall
+    # Tangent at phi is (sin phi, 0, cos phi): an x-plane quad (normal x,
+    # spanning z) faces the road when |cos phi| dominates; z-plane when
+    # |sin phi| does.
+    use_x = np.abs(np.cos(phi)) >= np.abs(np.sin(phi))
+    pil_z = np.stack([pz, px - pw / 2, px + pw / 2, top,
+                      np.full(n_tot, ground_y)], axis=1)[~use_x]
+    pil_x = np.stack([px, pz - pw / 2, pz + pw / 2, top,
+                      np.full(n_tot, ground_y)], axis=1)[use_x]
+    pillars = np.concatenate([end_walls, pil_z])
     return TexturedScene(K, poses, image_shape, room_half, ground_y,
-                         pillars.astype(np.float64), seed)
+                         pillars.astype(np.float64), seed,
+                         pillars_x=pil_x.astype(np.float64))
 
 
 # Bump when any renderer/scene-generator change invalidates cached frames.
-SCENE_VERSION = 3
+SCENE_VERSION = 4
 
 
 def render_all_cached(scene, tag: str, cache_dir: str = "/tmp/mvo_scenes"):
@@ -377,6 +401,10 @@ class TexturedScene:
     ground_y: float  # ground plane height (y down is positive in camera)
     pillars: np.ndarray  # (P, 5): [z, x0, x1, y0, y1] wall segments facing -z
     seed: int
+    # Optional x = const pillar quads [x, z0, z1, y0, y1] — needed when the
+    # trajectory heads along +-x (the loop-room laps): z-plane quads are
+    # edge-on (invisible) there.  None/empty for the corridor scenes.
+    pillars_x: np.ndarray = None
 
     @property
     def num_frames(self):
@@ -538,9 +566,29 @@ def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
                      scene.seed + s_off, 1.1, 135.0,
                      1.0 / np.maximum(cosw, 0.05))
 
-        # Pillar quads z = const (world), x/y bounded.
+        # Pillar quads (axis-aligned planes, x/y or z/y bounded).  Frustum
+        # cull first: with hundreds of lane-lining pillars the per-pillar
+        # full-image mask ops dominate render cost, and most pillars are
+        # behind the camera or outside the view at any moment.
+        W_img = W
+
+        def visible(corners_w):
+            pc = (corners_w - cam) @ R  # camera frame (R = C->W rotation)
+            z = pc[:, 2]
+            if np.all(z < 0.2):
+                return False
+            if np.all(z > 0.2):
+                u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+                if np.all(u < -1) or np.all(u > W_img):
+                    return False
+            return True
+
         dz = d[..., 2]
+        dx = d[..., 0]
         for i, (pzz, x0, x1, y0, y1) in enumerate(scene.pillars):
+            if not visible(np.array([[x0, y0, pzz], [x1, y0, pzz],
+                                     [x0, y1, pzz], [x1, y1, pzz]])):
+                continue
             t = (pzz - cam[2]) / dz
             p = cam + t[..., None] * d
             inb = ((p[..., 0] >= x0) & (p[..., 0] <= x1)
@@ -548,6 +596,19 @@ def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
             consider(t, (np.abs(dz) > 1e-9) & inb, p[..., 0] * 3.1 + 13.7 * i,
                      p[..., 1] * 3.1, scene.seed + 10 + i, 0.9, 150.0,
                      np.ones_like(t))
+
+        px_quads = scene.pillars_x if scene.pillars_x is not None else ()
+        for i, (pxx, z0, z1, y0, y1) in enumerate(px_quads):
+            if not visible(np.array([[pxx, y0, z0], [pxx, y0, z1],
+                                     [pxx, y1, z0], [pxx, y1, z1]])):
+                continue
+            t = (pxx - cam[0]) / dx
+            p = cam + t[..., None] * d
+            inb = ((p[..., 2] >= z0) & (p[..., 2] <= z1)
+                   & (p[..., 1] >= y0) & (p[..., 1] <= y1))
+            consider(t, (np.abs(dx) > 1e-9) & inb,
+                     p[..., 2] * 3.1 + 17.3 * i, p[..., 1] * 3.1,
+                     scene.seed + 1000 + i, 0.9, 150.0, np.ones_like(t))
 
     # Sky: soft vertical gradient, featureless.
     sky = best_t >= INF

@@ -165,7 +165,7 @@ def keep_every(frames, every: int, store: Dict[int, np.ndarray]):
 
 def _metric_baseline(kf: Keyframe, uv_feat: np.ndarray, z_tri: np.ndarray,
                      sel: np.ndarray, *, max_px: float = 5.0,
-                     min_assoc: int = 4) -> Optional[float]:
+                     min_assoc: int = 6) -> Optional[float]:
     """|t| of the loop pair in ``kf``'s local odometry scale.
 
     Associates loop matches with the keyframe's VO landmarks by pixel
@@ -257,7 +257,8 @@ def _make_pair_verifier(cam, n_feat: int, ratio: float, iters: int,
 def detect_loops(bank: KeyframeBank, cam, *, min_gap_frames: int = 30,
                  min_matches: int = 50, min_inliers: int = 30,
                  ransac_iters: int = 300, seed: int = 0,
-                 mode: str = "retrieval", topk: int = 3):
+                 mode: str = "retrieval", topk: int = 3,
+                 min_depth_ratio: float = 3.0):
     """Find and verify loop-closure keyframe pairs.
 
     ``mode="retrieval"`` (default): global-descriptor top-k candidates,
@@ -314,6 +315,16 @@ def detect_loops(bank: KeyframeBank, cam, *, min_gap_frames: int = 30,
                  & (z_i[ci] > 0) & (z_j[ci] > 0))
             if m.sum() < min_inliers // 2:
                 continue
+            # Revisit gate: z here is depth in units of the pair's
+            # baseline (|t| = 1), so median z is the scene-depth-to-
+            # baseline ratio.  A true loop closure is a small-parallax
+            # REVISIT (depth many baselines); wide-baseline co-observation
+            # pairs along an arc (z_med ~ 1) are geometrically valid but
+            # their pixel-distance scale association is unreliable —
+            # measured on the loop-room arc: a confident 42-inlier pair
+            # estimated |t| 2.5x off and corrupted the graph.
+            if float(np.median(z_i[ci][m])) < min_depth_ratio:
+                continue
             t_i = _metric_baseline(kfs[a], kfs[a].uv, z_i[ci], m)
             t_j = _metric_baseline(kfs[b], kfs[b].uv[idx1[ci]], z_j[ci], m)
             loops.append((a, b, R[ci], t[ci], int(n_inl[ci]), t_i, t_j))
@@ -326,6 +337,7 @@ def refine_trajectory(records, bank: KeyframeBank, cam, *,
                       min_inliers: int = 25, method: str = "sim3",
                       mode: str = "retrieval",
                       robust_delta: float = 0.5,
+                      min_loop_edges: int = 2,
                       verbose: bool = False) -> Optional[np.ndarray]:
     """Build the pose graph (odometry chain + verified loop edges), optimize,
     and return corrected (len(records), 3) positions — or None if no
@@ -370,23 +382,31 @@ def refine_trajectory(records, bank: KeyframeBank, cam, *,
         graph = posegraph_sim3.from_se3_chain(T_nodes)
         n_edges = 0
         for (a, b, R, t_dir, n_inl, t_a, t_b) in loops:
-            if t_a is not None and t_b is not None:
-                # Relative scale of b's odometry vs a's = ratio of the SAME
-                # physical baseline measured in each local scale.
-                s_rel = t_b / max(t_a, 1e-9)
-                t_edge = t_dir * t_a
-            else:
-                # Scale unobservable (too few landmark associations): fall
-                # back to a scale-free edge — |t| borrowed from the current
-                # estimate, relative scale left to the odometry chain.
-                T_rel_est = np.asarray(kfs[b].T_CW) @ np.linalg.inv(
-                    np.asarray(kfs[a].T_CW))
-                t_edge = t_dir * np.linalg.norm(T_rel_est[:3, 3])
-                s_rel = 1.0
+            # Require the metric baseline to be measurable from BOTH
+            # keyframes' landmark associations.  This is the decisive
+            # revisit discriminator: a true loop closure re-sees the same
+            # near structure (associations succeed on both sides), while
+            # wide-baseline co-observation pairs match mostly shared FAR
+            # texture — small parallax, unconstrained t_dir, failed
+            # associations.  A scale-free fallback edge built from such a
+            # pair bends the graph with a garbage translation direction
+            # (measured on the loop-room arc: 24 fallback edges took the
+            # 300-frame ATE from 5.3 to 12-74).
+            if t_a is None or t_b is None:
+                continue
+            # Relative scale of b's odometry vs a's = ratio of the SAME
+            # physical baseline measured in each local scale.
+            s_rel = t_b / max(t_a, 1e-9)
+            t_edge = t_dir * t_a
             graph = posegraph_sim3.add_loop_edge(
                 graph, a, b, R, t_edge, s_rel, weight=loop_weight)
             n_edges += 1
-        if n_edges == 0:
+        # Quorum: a single loop edge is unfalsifiable — with no second
+        # edge to be consistent (or inconsistent) with, a wrong one is
+        # indistinguishable from real drift correction (leave-one-out
+        # trivially collapses the cost either way).  Demand redundancy
+        # before correcting anything.
+        if n_edges < min_loop_edges:
             return None
         # Huber-robust solve + leave-one-out consistency pruning: a
         # confidently-wrong loop edge (repetitive structure) is identified

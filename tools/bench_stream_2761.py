@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--block", type=int, default=64)
     ap.add_argument("--posegraph-every", type=int, default=8)
+    ap.add_argument("--bootstrap", type=int, default=8,
+                    help="bootstrap pair stride (the loop-room scene's "
+                         "strong corners are far-field; a 4-frame baseline "
+                         "leaves <8 landmarks past the 2-degree gate)")
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument("--out", default="BENCH_stream_2761.json")
     ap.add_argument("--checkpoint-dir", default="/tmp/stream2761_ck")
@@ -65,7 +69,7 @@ def main():
     vo = VisualOdometry(Camera.from_matrix(spec.K), cfg)
     key = jax.random.PRNGKey(0)
 
-    b = 4
+    b = args.bootstrap
     boot = [spec.load_frame(i) for i in range(b + 1)]
     state = vo.bootstrap(boot[0], boot[b], jax.random.fold_in(key, 0),
                          intermediate=boot[1:b])
@@ -81,7 +85,7 @@ def main():
     t0 = time.perf_counter()
     state, outs, ids, info = scan_driver.run_streaming(
         vo, state, stream, key, block=args.block, emit_landmarks=True,
-        recover=True, bootstrap_stride=2,
+        recover=True, bootstrap_stride=b,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every_blocks=8,
         verbose=True)
     wall = time.perf_counter() - t0
