@@ -405,6 +405,14 @@ class TexturedScene:
     # trajectory heads along +-x (the loop-room laps): z-plane quads are
     # edge-on (invisible) there.  None/empty for the corridor scenes.
     pillars_x: np.ndarray = None
+    # Realism failure modes real imagery brings (round-4 verdict missing #1):
+    # tile_period > 0 wraps the WALL texture coordinate every tile_period
+    # meters — a repeating facade, the classic KLT/SIFT aliasing ambiguity
+    # (identical windows one tile apart); textureless_ground renders the
+    # ground as a constant shade (featureless road surface — detectors must
+    # survive on the remaining structure).
+    tile_period: float = 0.0
+    textureless_ground: bool = False
 
     @property
     def num_frames(self):
@@ -433,6 +441,9 @@ def make_textured_scene(
     ground_y: float = 1.65,
     num_pillars: int = 24,
     path_clearance: float = 2.5,
+    step_profile=None,
+    tile_period: float = 0.0,
+    textureless_ground: bool = False,
 ) -> TexturedScene:
     """KITTI-like world: camera 1.65 m above a textured ground plane driving
     down a corridor of textured walls with occluding pillars.  Defaults match
@@ -445,6 +456,11 @@ def make_textured_scene(
     camera in-lane while still exercising rotation.  Pillars are placed
     relative to the path with at least ``path_clearance`` m of lateral
     room — the road stays drivable, as a real street scene would be.
+
+    ``step_profile``: optional per-frame step lengths (array of
+    ``num_frames``) overriding the constant ``step`` — models braking /
+    acceleration (every real KITTI sequence has both; the constant-velocity
+    recovery prior is exactly what this breaks).
     """
     rng = np.random.default_rng(seed)
     H, W = image_shape
@@ -458,6 +474,9 @@ def make_textured_scene(
                           [0.0, 0.7 * W, H / 2.0],
                           [0.0, 0.0, 1.0]])
 
+    steps = (np.full(num_frames, step, np.float64) if step_profile is None
+             else np.asarray(step_profile, np.float64))
+    assert steps.shape == (num_frames,), steps.shape
     poses = np.zeros((num_frames, 4, 4))
     pos = np.zeros(3)
     amp = np.radians(yaw_amplitude_deg)
@@ -470,9 +489,9 @@ def make_textured_scene(
         T[:3, 3] = pos
         poses[i] = T
         fwd = R_WC @ np.array([0.0, 0.0, 1.0])
-        pos = pos + step * fwd
+        pos = pos + steps[i] * fwd
 
-    length = num_frames * step + 120.0
+    length = float(np.sum(steps)) + 120.0
     # Occluding pillars: wall segments at staggered depths, offset laterally
     # from wherever the path is at that depth (linear extrapolation past the
     # last pose) so the camera never drives into one.
@@ -494,7 +513,9 @@ def make_textured_scene(
     ], axis=1)
 
     return TexturedScene(K, poses, image_shape, half_width, ground_y,
-                         pillars.astype(np.float64), seed)
+                         pillars.astype(np.float64), seed,
+                         tile_period=tile_period,
+                         textureless_ground=textureless_ground)
 
 
 def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
@@ -552,8 +573,14 @@ def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
         t = (scene.ground_y - cam[1]) / dy
         p = cam + t[..., None] * d
         cosg = np.abs(dy) / np.linalg.norm(d, axis=-1)
-        consider(t, dy > 1e-9, p[..., 0], p[..., 2], scene.seed + 1, 1.6,
-                 120.0, 1.0 / np.maximum(cosg, 0.05))
+        if scene.textureless_ground:
+            # Featureless road surface: flat shade, no trackable structure.
+            hit = (dy > 1e-9) & (t > 0.2) & (t < best_t)
+            best_t = np.where(hit, t, best_t)
+            best_shade = np.where(hit, np.float32(118.0), best_shade)
+        else:
+            consider(t, dy > 1e-9, p[..., 0], p[..., 2], scene.seed + 1, 1.6,
+                     120.0, 1.0 / np.maximum(cosg, 0.05))
 
         # Walls x = ±half_width.
         for sgn, s_off in ((-1.0, 2), (1.0, 3)):
@@ -562,7 +589,12 @@ def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
             p = cam + t[..., None] * d
             above = p[..., 1] < scene.ground_y  # walls end at the ground
             cosw = np.abs(dx) / np.linalg.norm(d, axis=-1)
-            consider(t, (np.abs(dx) > 1e-9) & above, p[..., 2], p[..., 1],
+            u_wall = p[..., 2]
+            if scene.tile_period > 0.0:
+                # Repeating facade: wrap the along-wall coordinate, so the
+                # texture is IDENTICAL every tile_period meters.
+                u_wall = np.mod(u_wall, scene.tile_period)
+            consider(t, (np.abs(dx) > 1e-9) & above, u_wall, p[..., 1],
                      scene.seed + s_off, 1.1, 135.0,
                      1.0 / np.maximum(cosw, 0.05))
 
@@ -618,7 +650,8 @@ def _render_textured(scene: TexturedScene, frame: int) -> np.ndarray:
 
 def augment_frames(frames, *, seed: int = 0, noise_std: float = 0.0,
                    exposure_drift: float = 0.0, vignette: float = 0.0,
-                   occluder_frac: float = 0.0):
+                   occluder_frac: float = 0.0, motion_blur_px: int = 0,
+                   gamma: float = 1.0):
     """Photometric + occlusion realism on rendered frames (round-3 verdict
     missing #3: everything was validated on clean procedural renders).
 
@@ -633,7 +666,13 @@ def augment_frames(frames, *, seed: int = 0, noise_std: float = 0.0,
       * moving occluder: an independently-moving textured rectangle
         covering ``occluder_frac`` of the image area, sweeping across the
         view over the sequence (a crossing vehicle) — its features violate
-        the static-world assumption and must be rejected downstream.
+        the static-world assumption and must be rejected downstream;
+      * motion blur: ``motion_blur_px``-tap horizontal box blur (exposure
+        smear along the dominant image motion — kills corner contrast and
+        widens KLT basins);
+      * nonlinear response: power-law ``gamma`` applied to normalized
+        intensity (real sensors are not radiometrically linear; breaks
+        any brightness-constancy assumption calibrated on linear data).
 
     Returns a new list of float32 frames in [0, 255].
     """
@@ -669,6 +708,12 @@ def augment_frames(frames, *, seed: int = 0, noise_std: float = 0.0,
             y0, y1 = max(cy, 0), min(cy + occ_h, H)
             if x1 > x0 and y1 > y0:
                 g[y0:y1, x0:x1] = tex[: y1 - y0, : x1 - x0]
+        if motion_blur_px > 1:
+            k = int(motion_blur_px)
+            c = np.cumsum(np.pad(g, ((0, 0), (k, 0)), mode="edge"), axis=1)
+            g = (c[:, k:] - c[:, :-k]) / k
+        if gamma != 1.0:
+            g = 255.0 * np.power(np.clip(g, 0.0, 255.0) / 255.0, gamma)
         if noise_std > 0:
             g = g + rng.normal(0.0, noise_std, g.shape).astype(np.float32)
         out.append(np.clip(g, 0.0, 255.0).astype(np.float32))

@@ -77,6 +77,75 @@ def _recent_step_len(records: List[FrameRecord], n: int = 6) -> Optional[float]:
     return float(np.median(d)) if len(d) else None
 
 
+def map_scale_from_points(X_w_old: np.ndarray, fresh: FrameState, cam,
+                          anchor_T_CW: np.ndarray, *, gate_px: float = 10.0,
+                          min_pairs: int = 12,
+                          max_spread: float = 0.3) -> Optional[float]:
+    """Map-based metric scale for re-bootstrap (velocity-robust recovery).
+
+    The constant-velocity prior (``_recent_step_len``) mis-scales recovery
+    by the velocity ratio whenever the camera brakes or accelerates through
+    the blackout.  Instead, align the surviving OLD landmark map with the
+    fresh bootstrap's map directly: project the old world-frame landmarks
+    ``X_w_old`` into the re-bootstrap's first camera (extrinsics ≈ the
+    anchor pose — the pose is held through LOST frames), associate them to
+    the fresh landmarks by nearest pixel in that same image (the fresh
+    local world IS the bootstrap's first camera frame, vo._bootstrap_geom),
+    and take the robust median of per-pair depth ratios
+
+        s_i = z_old_i / z_fresh_i .
+
+    Pixel association errs for near-field points when the camera moved
+    during the blackout, but nearby-in-pixel points have similar depth, so
+    a mis-association degrades the estimate gracefully rather than
+    catastrophically.  Returns ``None`` (caller falls back to the velocity
+    prior) when fewer than ``min_pairs`` associate inside ``gate_px`` or
+    the inter-quartile spread of the ratios exceeds ``max_spread`` of the
+    median — the same gate family as posegraph_runner._metric_baseline.
+
+    The reference has no recovery at all (fail-stop,
+    VisualOdometryPipeLine.py:352,:358); this is a new capability.
+    """
+    X = np.asarray(X_w_old, np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        return None
+    A = np.asarray(anchor_T_CW, np.float64)
+    xc = X @ A[:3, :3].T + A[:3, 3]
+    z_old = xc[:, 2]
+    ok = np.isfinite(z_old) & (z_old > 0.5)
+    if not np.any(ok):
+        return None
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    xc = xc[ok]
+    z_old = z_old[ok]
+    uv_old = np.stack([fx * xc[:, 0] / z_old + cx,
+                       fy * xc[:, 1] / z_old + cy], axis=1)
+
+    Xl = np.asarray(fresh.lm_xyz, np.float64)
+    vl = np.asarray(fresh.lm_valid)
+    z_f = Xl[:, 2]
+    okf = vl & np.isfinite(z_f) & (z_f > 1e-3)
+    if not np.any(okf):
+        return None
+    Xl = Xl[okf]
+    z_f = z_f[okf]
+    uv_f = np.stack([fx * Xl[:, 0] / z_f + cx,
+                     fy * Xl[:, 1] / z_f + cy], axis=1)
+
+    d2 = ((uv_f[:, None, :] - uv_old[None, :, :]) ** 2).sum(-1)
+    nn = np.argmin(d2, axis=1)
+    hit = d2[np.arange(len(uv_f)), nn] <= gate_px ** 2
+    if np.count_nonzero(hit) < min_pairs:
+        return None
+    ratios = z_old[nn[hit]] / z_f[hit]
+    med = float(np.median(ratios))
+    q25, q75 = np.percentile(ratios, [25.0, 75.0])
+    if med <= 0 or (q75 - q25) > max_spread * med:
+        return None
+    return med
+
+
 def reanchor_state(fresh: FrameState, anchor_T_CW: np.ndarray,
                    scale: float) -> FrameState:
     """Express a fresh (re-)bootstrap state in the ORIGINAL world frame.
@@ -210,6 +279,10 @@ def run_sequence(
 
     last_img = img1
     recent = [np.asarray(img1)]  # short frame history for re-bootstrap
+    # Last TRACKING state: its landmark map survives the blackout intact
+    # (the LOST state's tables degrade as KLT drops rows), feeding the
+    # map-based recovery scale (map_scale_from_points).
+    last_good_state = state if int(state.status) == STATUS_TRACKING else None
     lost_streak = 0
     for idx, img in it:
         if resume_at is not None and idx <= resume_at:
@@ -232,10 +305,23 @@ def run_sequence(
                     intermediate=span[1:],
                 )
                 if int(fresh.status) == STATUS_TRACKING:
-                    step_len = _recent_step_len(records)
-                    # The re-bootstrap pair spans bootstrap_stride frames.
-                    scale = (step_len * bootstrap_stride
-                             if step_len else 1.0)
+                    # Map-based scale first (velocity-robust: braking or
+                    # accelerating through the blackout breaks the
+                    # constant-velocity prior), prior as fallback.
+                    scale = None
+                    src = "map"
+                    if last_good_state is not None:
+                        lv = np.asarray(last_good_state.lm_valid)
+                        scale = map_scale_from_points(
+                            np.asarray(last_good_state.lm_xyz)[lv],
+                            fresh, vo.cam, anchor)
+                    if scale is None:
+                        src = "velocity-prior"
+                        step_len = _recent_step_len(records)
+                        # The re-bootstrap pair spans bootstrap_stride
+                        # frames.
+                        scale = (step_len * bootstrap_stride
+                                 if step_len else 1.0)
                     # Keep the fresh state's own frame counter: candidate
                     # ages are relative to it (cand_first_frame was written
                     # by the fresh bootstrap).
@@ -243,7 +329,7 @@ def run_sequence(
                     lost_streak = 0
                     if verbose:
                         print(f"frame {idx}: re-bootstrapped after loss "
-                              f"(scale {scale:.3f})")
+                              f"(scale {scale:.3f}, {src})")
 
         if ring is not None:
             ring.push(state)
@@ -267,6 +353,8 @@ def run_sequence(
         jax.block_until_ready(state.T_CW)
         wall = (time.perf_counter() - t0) * 1000
         records.append(_record(idx, state, wall))
+        if int(state.status) == STATUS_TRACKING:
+            last_good_state = state
         if bank is not None:
             bank.maybe_add(len(records) - 1, idx, state, np.asarray(img))
         if on_frame is not None:

@@ -194,6 +194,34 @@ def run_streaming(vo: VisualOdometry, state: FrameState, frames, key,
                jnp.asarray(active))
         return ids, imgs, dev, n
 
+    def _old_map_points(j):
+        """World-frame landmark map of the last TRACKING frame before the
+        block index ``j`` — reconstructed from the per-frame snapshot
+        (uv + camera depth + pose) the scan already emits, feeding the
+        map-based recovery scale (runner.map_scale_from_points).  Falls
+        back to the snapshot carried from a previous block when the whole
+        streak precedes this block."""
+        snap = last_good_lm[0]
+        for i in range(j - 1, -1, -1):
+            if outs_np.status[i] == STATUS_TRACKING:
+                snap = (outs_np.lm_uv[i], outs_np.lm_z[i],
+                        outs_np.lm_valid[i], outs_np.T_CW[i])
+                break
+        if snap is None:
+            return None
+        uv, z, valid, T = snap
+        v = np.asarray(valid)
+        if not np.any(v):
+            return None
+        uv = np.asarray(uv, np.float64)[v]
+        z = np.asarray(z, np.float64)[v]
+        fx, fy = float(vo.cam.fx), float(vo.cam.fy)
+        cx, cy = float(vo.cam.cx), float(vo.cam.cy)
+        x_cam = np.stack([(uv[:, 0] - cx) / fx * z,
+                          (uv[:, 1] - cy) / fy * z, z], axis=1)
+        T = np.asarray(T, np.float64)
+        return (x_cam - T[:3, 3]) @ T[:3, :3]  # R^T (x - t), row-vector
+
     def try_recover(ids, imgs, statuses, n):
         """Find the first LOST-streak trigger in this block and attempt a
         re-bootstrap at a few positions after it.  Returns (e, new_state)
@@ -222,23 +250,36 @@ def run_streaming(vo: VisualOdometry, state: FrameState, frames, key,
                 intermediate=span[1:-1])
             if int(fresh.status) != STATUS_TRACKING:
                 continue
-            from .runner import reanchor_state
+            from .runner import map_scale_from_points, reanchor_state
 
-            step_len = _step_len_prior(pose_hist)
-            scale = step_len * s if step_len else 1.0
             # Anchor = pose held through the LOST frames (== last tracked
             # pose), approximating the bootstrap's first-frame extrinsics.
             anchor = np.asarray(outs_np.T_CW[max(e - s, 0)])
+            # Map-based scale first (velocity-robust), prior as fallback.
+            scale = None
+            src = "map"
+            if emit_landmarks:
+                X_old = _old_map_points(j)
+                if X_old is not None:
+                    scale = map_scale_from_points(X_old, fresh, vo.cam,
+                                                  anchor)
+            if scale is None:
+                src = "velocity-prior"
+                step_len = _step_len_prior(pose_hist)
+                scale = step_len * s if step_len else 1.0
             new_state = reanchor_state(fresh, anchor, scale)
             if verbose:
                 print(f"stream: re-bootstrapped at frame {ids[e]} "
-                      f"(scale {scale:.3f})")
+                      f"(scale {scale:.3f}, {src})")
             return e, new_state
         return None
 
     outs_all = []
     frame_ids = []
     pose_hist = []  # (status, T_CW) of recent emitted frames
+    # (uv, z, valid, T_CW) of the last emitted TRACKING frame, carried
+    # across blocks for the map-based recovery scale.
+    last_good_lm = [None]
     streak_in = 0
     recoveries = 0
     blocks = 0
@@ -269,6 +310,12 @@ def run_streaming(vo: VisualOdometry, state: FrameState, frames, key,
 
         outs_all.append(jax.tree.map(lambda x: x[:keep], outs_np))
         frame_ids.extend(ids[:keep])
+        if emit_landmarks:
+            for i in range(keep - 1, -1, -1):
+                if statuses[i] == STATUS_TRACKING:
+                    last_good_lm[0] = (outs_np.lm_uv[i], outs_np.lm_z[i],
+                                       outs_np.lm_valid[i], outs_np.T_CW[i])
+                    break
         for i in range(keep):
             pose_hist.append((int(statuses[i]), outs_np.T_CW[i]))
         del pose_hist[:-12]

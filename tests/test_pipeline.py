@@ -242,6 +242,52 @@ class TestRecovery:
         jump = np.linalg.norm(pos[post[0]] - pos[pre[-1]])
         assert jump < 10 * np.median(pre_steps) * (post[0] - pre[-1] + 1), jump
 
+    def test_rebootstrap_during_braking_tracks_deceleration(self):
+        """Blackout while the camera BRAKES (round-4 verdict stretch #8):
+        the constant-velocity prior would restore the PRE-loss speed
+        (post/pre step ratio ~1.0, ~3x too large); the map-based estimate
+        (runner.map_scale_from_points) aligns the fresh map to the
+        surviving pre-loss landmark map instead, so the recovered speed
+        must track the true deceleration.  The reference fail-stops on
+        any loss (VisualOdometryPipeLine.py:352,:358)."""
+        # 1.0 m/frame cruise, braking to 0.3 m/frame across frames 12-16,
+        # with a 2-frame blackout in the middle of the ramp.
+        steps = np.full(30, 1.0)
+        steps[12:16] = np.linspace(0.85, 0.35, 4)
+        steps[16:] = 0.3
+        scene = synthetic.make_textured_scene(
+            seed=5, num_frames=30, image_shape=(240, 320),
+            step_profile=steps)
+        cfg = small_config(scene.image_shape)
+        vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
+
+        def frames_with_blackout():
+            for i in range(scene.num_frames):
+                img = scene.render(i)
+                if i in (13, 14):
+                    img = np.zeros_like(img)
+                yield i, img
+
+        res = run_sequence(vo, frames_with_blackout(), bootstrap_stride=2,
+                           recover=True, recover_after=2)
+        statuses = [r.status for r in res.records]
+        assert any(s != 0 for s in statuses), "blackout should cause LOST"
+        assert all(s == 0 for s in statuses[-5:]), statuses
+        # Monocular scale is internal (set by the first bootstrap), so the
+        # observable contract is the post/pre step-length RATIO: ground
+        # truth decelerates 1.0 -> 0.3 m/frame across the blackout, so the
+        # estimated ratio must be ~0.3.  The constant-velocity prior
+        # restores the PRE-loss speed (ratio ~1.0) and fails this bound.
+        pos = res.positions
+        pre = [i for i, s in enumerate(statuses)
+               if s == 0 and res.records[i].frame <= 11]
+        post = [i for i, s in enumerate(statuses)
+                if s == 0 and res.records[i].frame >= 20]
+        pre_steps = np.linalg.norm(np.diff(pos[pre], axis=0), axis=1)
+        post_steps = np.linalg.norm(np.diff(pos[post][1:], axis=0), axis=1)
+        ratio = np.median(post_steps) / np.median(pre_steps)
+        assert 0.19 < ratio < 0.45, (ratio, pre_steps, post_steps)
+
 
 class TestInStepBA:
     def test_in_step_ba_improves_drifty_trajectory(self):
@@ -383,6 +429,52 @@ class TestInStepBA:
         post_steps = np.linalg.norm(np.diff(pos[post][1:], axis=0), axis=1)
         ratio = np.median(post_steps) / max(np.median(pre_steps), 1e-9)
         assert 0.4 < ratio < 2.5, (ratio, pre_steps, post_steps)
+
+    def test_streaming_rebootstrap_during_braking(self):
+        """Streaming-path twin of the braking test: the map-based recovery
+        scale must also work from the scan's per-frame landmark snapshots
+        (scan_driver._old_map_points reconstructs the pre-loss world map
+        from uv + camera depth + pose), including the snapshot carried
+        ACROSS block boundaries when the whole LOST streak precedes the
+        block that recovers."""
+        import jax
+
+        from monocular_visual_odometry_va4mr_tpu.pipeline import scan_driver
+
+        steps = np.full(30, 1.0)
+        steps[12:16] = np.linspace(0.85, 0.35, 4)
+        steps[16:] = 0.3
+        scene = synthetic.make_textured_scene(
+            seed=5, num_frames=30, image_shape=(240, 320),
+            step_profile=steps)
+        cfg = small_config(scene.image_shape)
+        vo = VisualOdometry(Camera.from_matrix(scene.K), cfg)
+        key = jax.random.PRNGKey(0)
+        frames = [scene.render(i) for i in range(scene.num_frames)]
+        for i in (13, 14):
+            frames[i] = np.zeros_like(frames[i])
+        state0 = vo.bootstrap(frames[0], frames[2],
+                              jax.random.fold_in(key, 0),
+                              intermediate=frames[1:2])
+        assert int(state0.status) == STATUS_TRACKING
+        stream = ((i, frames[i]) for i in range(3, scene.num_frames))
+        final, outs, ids, info = scan_driver.run_streaming(
+            vo, state0, stream, key, block=6, recover=True,
+            bootstrap_stride=2, emit_landmarks=True)
+        assert info.recoveries >= 1
+        assert int(final.status) == STATUS_TRACKING
+        statuses = list(np.asarray(outs.status))
+        T = np.asarray(outs.T_CW)
+        pos = np.stack([-t[:3, :3].T @ t[:3, 3] for t in T])
+        # Same contract as the host-runner braking test: post/pre step
+        # ratio must track the GT deceleration (0.3), not the pre-loss
+        # speed the velocity prior would restore (1.0).
+        pre = [i for i, s in enumerate(statuses) if s == 0 and ids[i] <= 11]
+        post = [i for i, s in enumerate(statuses) if s == 0 and ids[i] >= 20]
+        pre_steps = np.linalg.norm(np.diff(pos[pre], axis=0), axis=1)
+        post_steps = np.linalg.norm(np.diff(pos[post][1:], axis=0), axis=1)
+        ratio = np.median(post_steps) / np.median(pre_steps)
+        assert 0.19 < ratio < 0.45, (ratio, pre_steps, post_steps)
 
     def test_in_step_ba_in_scan(self, scene):
         """The BA-fused step must also run under lax.scan (the bench path)."""

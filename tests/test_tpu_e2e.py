@@ -36,12 +36,13 @@ import dataclasses
 
 assert jax.default_backend() == "tpu"
 scene = synthetic.make_textured_scene(seed=7, num_frames=40,
-                                      image_shape=(480, 640), step=1.0)
-frames = synthetic.render_all_cached(scene, "tpu-e2e-s7-f40-480x640")
-if {augment!r}:
-    frames = synthetic.augment_frames(
-        frames, seed=3, noise_std=2.0, exposure_drift=0.10,
-        vignette=0.2, occluder_frac=0.02)
+                                      image_shape=(480, 640), step=1.0,
+                                      **{scene_kw!r})
+frames = synthetic.render_all_cached(scene,
+                                     "tpu-e2e-s7-f40-480x640" + {tag!r})
+aug_kw = {aug_kw!r}
+if aug_kw:
+    frames = synthetic.augment_frames(frames, seed=3, **aug_kw)
 cfg = parking_config().replace(image_shape=scene.image_shape,
                                bootstrap_method="klt")
 cfg = cfg.replace(detector=dataclasses.replace(cfg.detector,
@@ -90,16 +91,21 @@ def test_bench_gate_on_tpu():
     assert out["ate_rmse"] <= out["ate_bound"], out
 
 
+def _run_e2e(scene_kw, tag, aug_kw):
+    r = subprocess.run([sys.executable, "-c",
+                       _E2E.format(repo=REPO, scene_kw=scene_kw, tag=tag,
+                                   aug_kw=aug_kw)],
+                       timeout=1800, capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    return json.loads(line[len("RESULT "):])
+
+
 @needs_tpu
 def test_pallas2_tracks_textured_sequence_on_tpu():
     """The shipped pallas2 hardware path must TRACK a textured sequence —
     the property the round-2 benchmark never checked."""
-    r = subprocess.run([sys.executable, "-c",
-                       _E2E.format(repo=REPO, augment=False)],
-                       timeout=1800, capture_output=True, text=True, cwd=REPO)
-    assert r.returncode == 0, r.stderr[-3000:]
-    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
-    out = json.loads(line[len("RESULT "):])
+    out = _run_e2e({}, "", {})
     assert out["finite"], out
     assert out["lost"] <= 2, out  # transient loss tolerated, not collapse
     assert out["ate"] < 1.5, out  # ~36 m path -> ATE well under 5%
@@ -113,12 +119,30 @@ def test_pallas2_survives_photometric_and_occluder_stress_on_tpu():
     the occluder's features violate the static-world assumption and must
     be rejected by the FB-gated KLT + PnP-RANSAC, not absorbed into the
     pose."""
-    r = subprocess.run([sys.executable, "-c",
-                       _E2E.format(repo=REPO, augment=True)],
-                       timeout=1800, capture_output=True, text=True, cwd=REPO)
-    assert r.returncode == 0, r.stderr[-3000:]
-    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
-    out = json.loads(line[len("RESULT "):])
+    out = _run_e2e({}, "", dict(noise_std=2.0, exposure_drift=0.10,
+                                vignette=0.2, occluder_frac=0.02))
     assert out["finite"], out
     assert out["lost"] <= 4, out
     assert out["ate"] < 2.0, out  # degraded vs clean (1.5) but tracking
+
+
+@needs_tpu
+def test_pallas2_survives_hard_realism_stress_on_tpu():
+    """The failure modes REAL imagery brings, stacked (round-4 verdict
+    missing #1 / next-step #4): repetitive facades (wall texture repeats
+    every 6 m — the classic KLT/SIFT aliasing ambiguity), a featureless
+    road surface (no trackable ground structure), a large independently-
+    moving object covering 10% of the image, 3 px exposure-smear motion
+    blur, nonlinear sensor response (gamma 0.7), and sensor noise.
+
+    Measured envelope (TPU, 2026-08-21): clean ATE 0.58, 0 lost -> this
+    stack ATE 0.84, 0 lost on the 36 m path.  The moving object's features
+    must lose the PnP-RANSAC vote to the static world, and the FB gate
+    must reject tile-aliased KLT locks (identical windows 6 m apart)."""
+    out = _run_e2e(dict(tile_period=6.0, textureless_ground=True),
+                   "-tiled-bald",
+                   dict(noise_std=2.0, exposure_drift=0.10,
+                        occluder_frac=0.10, motion_blur_px=3, gamma=0.7))
+    assert out["finite"], out
+    assert out["lost"] <= 2, out
+    assert out["ate"] < 1.6, out
