@@ -491,7 +491,11 @@ def make_textured_scene(
         fwd = R_WC @ np.array([0.0, 0.0, 1.0])
         pos = pos + steps[i] * fwd
 
-    length = float(np.sum(steps)) + 120.0
+    # Bit-stable for the constant-step case: np.sum(full(n, step)) differs
+    # from n*step in the last ulp, which would perturb the pillar RNG draws
+    # and change every pre-existing scene's content.
+    length = (num_frames * step if step_profile is None
+              else float(np.sum(steps))) + 120.0
     # Occluding pillars: wall segments at staggered depths, offset laterally
     # from wherever the path is at that depth (linear extrapolation past the
     # last pose) so the camera never drives into one.

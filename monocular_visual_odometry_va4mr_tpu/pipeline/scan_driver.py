@@ -72,11 +72,18 @@ def make_scan_step(vo: VisualOdometry, *, emit_landmarks: bool = False,
     def scan_body(state: FrameState, inp):
         if masked:
             img, key, active = inp
+        else:
+            img, key = inp
+        if img.dtype != jnp.float32:
+            # uint8 upload path (see next_block); trace-time conditional so
+            # f32 graphs are byte-identical to before (an unconditional
+            # astype changed XLA fusions and perturbed f32 trajectories).
+            img = img.astype(jnp.float32)
+        if masked:
             new_state = jax.lax.cond(
                 active, lambda s: vo._step_impl(s, img, key), lambda s: s,
                 state)
         else:
-            img, key = inp
             new_state = vo._step_impl(state, img, key)
         out = (new_state.T_CW, new_state.n_inliers, new_state.n_tracked,
                new_state.status)
@@ -181,7 +188,13 @@ def run_streaming(vo: VisualOdometry, state: FrameState, frames, key,
                 except StopIteration:
                     break
             ids.append(idx)
-            imgs.append(np.asarray(img, np.float32))
+            # Keep uint8 frames as uint8: the host->device block upload is
+            # the streaming bottleneck on a tunneled chip (64 frames of
+            # 376x1241 f32 = 119 MB/block; uint8 is 4x less), and the
+            # on-device cast to f32 is exact for 8-bit values.
+            a = np.asarray(img)
+            imgs.append(a if a.dtype == np.uint8
+                        else np.asarray(img, np.float32))
         if not imgs:
             return None
         n = len(imgs)
@@ -236,8 +249,15 @@ def run_streaming(vo: VisualOdometry, state: FrameState, frames, key,
         if j is None:
             return None
         s = bootstrap_stride
-        cands = sorted({min(j + d, n - 1) for d in (s + 1, s + 4, s + 10)}
-                       | {n - 1})
+        # First candidate: re-bootstrap ENDING AT the trigger frame itself.
+        # On content-driven loss (structure leaving the view, occlusion) the
+        # preceding images are perfectly good, so this recovers with only
+        # the streak frames lost instead of waiting bootstrap_stride+ more
+        # frames.  On a blackout those frames are the blackout — the
+        # bootstrap fails its status gate and the later candidates run.
+        cands = [j] if j - s >= 0 else []
+        cands += sorted({min(j + d, n - 1) for d in (s + 1, s + 4, s + 10)}
+                        | {n - 1})
         for e in cands:
             if e - s < 0:
                 continue
@@ -265,7 +285,12 @@ def run_streaming(vo: VisualOdometry, state: FrameState, frames, key,
                                                   anchor)
             if scale is None:
                 src = "velocity-prior"
-                step_len = _step_len_prior(pose_hist)
+                # Include this block's pre-trigger frames: a first-block
+                # recovery otherwise sees an empty history and silently
+                # falls back to scale 1.0.
+                hist = pose_hist + [(int(statuses[i]), outs_np.T_CW[i])
+                                    for i in range(j)]
+                step_len = _step_len_prior(hist)
                 scale = step_len * s if step_len else 1.0
             new_state = reanchor_state(fresh, anchor, scale)
             if verbose:

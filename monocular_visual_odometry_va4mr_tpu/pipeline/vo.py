@@ -460,6 +460,7 @@ class VisualOdometry:
                     out, _ = ba_mod.run_ba(
                         win, self.cam, iters=cfg.ba.iters,
                         huber_px=cfg.ba.huber_px, n_fixed=2)
+                    out = _ba_accept(win, out)
                     upd = jnp.where(part_s[:, None], out.lm_xyz,
                                     lm_xyz_in[sel])
                     lm_out = lm_xyz_in.at[sel].set(upd)
@@ -470,9 +471,26 @@ class VisualOdometry:
                     out, _ = ba_mod.run_ba(win, self.cam, iters=cfg.ba.iters,
                                            huber_px=cfg.ba.huber_px,
                                            n_fixed=2)
+                    out = _ba_accept(win, out)
                     lm_out = jnp.where(part[:, None], out.lm_xyz, lm_xyz_in)
                 ba_T_out = ba_T.at[order].set(out.T_CW)
                 return ba_T_out, lm_out, out.T_CW[-1]
+
+            def _ba_accept(win, out):
+                # Accept-if-improves guard: a GN step on an ill-conditioned
+                # window (far-field low-parallax landmarks on aliased
+                # texture) can RAISE reprojection error and, folded back
+                # into the live map every `every` frames, compound into
+                # divergence (measured on the 2761-frame loop run: the
+                # trajectory left the ground plane at ~frame 360 and
+                # exploded to |t| ~ 1e4 while PnP kept "tracking" the
+                # corrupted map).  Keep the update only when the window RMS
+                # does not get worse; else keep the input window.
+                rms_pre = ba_mod.reprojection_rms(win, self.cam)
+                rms_post = ba_mod.reprojection_rms(out, self.cam)
+                good = jnp.isfinite(rms_post) & (rms_post <= rms_pre)
+                return jax.tree.map(
+                    lambda a, b: jnp.where(good, a, b), out, win)
 
             def skip_branch(args):
                 ba_T, lm_xyz_in = args

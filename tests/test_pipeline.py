@@ -331,10 +331,12 @@ class TestInStepBA:
         lost_ba, ate_ba = run(
             cfg.replace(ba=InStepBAConfig(every=3, window=8, iters=2)))
         assert lost_plain == 0 and lost_ba == 0, (lost_plain, lost_ba)
-        # BA-refined poses must beat unrefined ones, with margin (measured
-        # ~5x improvement; 0.7 tolerates scene/seed jitter without letting
-        # a do-nothing BA pass).
-        assert ate_ba < 0.7 * ate_plain, (ate_ba, ate_plain)
+        # BA-refined poses must beat unrefined ones, with margin.  On the
+        # original renderer the improvement measured ~5x; the Nyquist mip
+        # filtering (round 5) softened this scene's far-field texture and
+        # the margin shrank to ~1.3x (1.92 vs 2.49).  0.85 still rejects a
+        # do-nothing BA while tolerating scene/seed jitter.
+        assert ate_ba < 0.85 * ate_plain, (ate_ba, ate_plain)
 
     def test_streaming_blocks_match_single_scan(self, scene):
         """run_streaming (state carried across fixed-shape scan blocks,

@@ -41,6 +41,13 @@ def main():
                          "strong corners are far-field; a 4-frame baseline "
                          "leaves <8 landmarks past the 2-degree gate)")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--no-instep-ba", action="store_true",
+                    help="disable the fused windowed BA for this run: on "
+                         "the loop-room world its far-field low-parallax "
+                         "windows corrupt the live map (measured: ATE 116 "
+                         "vs 21 without over 520 frames); scale drift is "
+                         "instead absorbed by the Sim(3) pose graph's loop "
+                         "closures")
     ap.add_argument("--out", default="BENCH_stream_2761.json")
     ap.add_argument("--checkpoint-dir", default="/tmp/stream2761_ck")
     args = ap.parse_args()
@@ -66,6 +73,8 @@ def main():
                                        bootstrap_method="klt")
     cfg = cfg.replace(
         detector=dataclasses.replace(cfg.detector, quality_level=0.03))
+    if args.no_instep_ba:
+        cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, every=0))
     vo = VisualOdometry(Camera.from_matrix(spec.K), cfg)
     key = jax.random.PRNGKey(0)
 
@@ -122,17 +131,23 @@ def main():
         from run_reference import run_reference
 
         print("running reference on identical frames...", flush=True)
-        frames_u8 = [spec.load_frame(i).astype(np.uint8) for i in range(N)]
-        scene_like = type("S", (), {"K": spec.K})()
-        r = run_reference(scene_like, frames_u8, bootstrap=(0, b),
-                          quality=0.01, reproj_err=8.0, max_dist=150)
-        ref_ate = float("nan")
-        if r["completed"] >= 8:
-            ref_ate = float(ate.ate_rmse(
-                r["positions"], spec.gt_poses[r["frame_ids"]][:, :3, 3]))
-        ref = {"completed": int(r["completed"]), "total": int(r["total"]),
-               "fps": float(r["fps"]), "ate": ref_ate,
-               "died_at": r["died_at"]}
+        try:
+            frames_u8 = [spec.load_frame(i).astype(np.uint8)
+                         for i in range(N)]
+            scene_like = type("S", (), {"K": spec.K})()
+            r = run_reference(scene_like, frames_u8, bootstrap=(0, b),
+                              quality=0.01, reproj_err=8.0, max_dist=150)
+            ref_ate = float("nan")
+            if r["completed"] >= 8:
+                ref_ate = float(ate.ate_rmse(
+                    r["positions"],
+                    spec.gt_poses[r["frame_ids"]][:, :3, 3]))
+            ref = {"completed": int(r["completed"]),
+                   "total": int(r["total"]),
+                   "fps": float(r["fps"]), "ate": ref_ate,
+                   "died_at": r["died_at"]}
+        except Exception as e:  # the reference crashing must not void OUR
+            ref["died_at"] = str(e).strip().split("\n")[-1][:120]  # artifact
         print(f"reference: {ref}", flush=True)
 
     bound = 0.02 * path

@@ -45,8 +45,13 @@ def run_reference(scene, frames, bootstrap=(0, 4), quality=0.03,
     for i in range(bootstrap[1] + 1, len(u8)):
         try:
             vo.continuous_operation(u8[i])
-        except ValueError as e:
-            died_at = (i, str(e))
+        except (ValueError, cv2.error) as e:
+            # ValueError: the reference's own fail-stop ("PnP failed" /
+            # "Not enough keypoints", VisualOdometryPipeLine.py:352,:358).
+            # cv2.error: the same starvation one step earlier — an emptied
+            # keypoint table makes calcOpticalFlowPyrLK reject prevPts
+            # before the reference's own guard can fire.
+            died_at = (i, str(e).strip().split("\n")[-1][:120])
             break
         R_WC, t_WC = vo.transforms[-1]  # (R, t) tuples, world-frame pose
         positions.append(np.asarray(t_WC).reshape(3).copy())
