@@ -104,6 +104,13 @@ class KLTConfig:
     # Mid-level (quarter-res) pass iteration cap for the pallas multilevel
     # chain; 0 = same as num_iters.  The mid pass only pulls the coarse
     # prior within the full-res pass's +-8 px guard.
+    # LK iterations on the Pallas chain's MID plane.  Geometry-dependent,
+    # not a TPU constant (measured round 5 on-chip, 95-frame runs):
+    # 376x1241 (KITTI) and 480x640 (Parking) track best with the mid pass
+    # OFF (0.65/0.91 ATE; turning it on regressed them to 1.17 / LOST),
+    # while 600x800 (Malaga) NEEDS it (mid_iters=0 loses the whole
+    # bootstrap chain: 5 landmarks -> permanent LOST vs 29 -> healthy,
+    # ATE 1.08).  Each dataset preset pins its measured value.
     mid_iters: int = 0
     eps: float = 0.01
     min_eig_threshold: float = 1e-4
@@ -249,7 +256,9 @@ def malaga_config() -> PipelineConfig:
         landmarks=LandmarkConfig(min_dist=0.0, max_dist=100.0,
                                  min_baseline_angle_deg=2.0, min_baseline_frames=2),
         detector=DetectorConfig(max_corners=1400, quality_level=0.03, min_dist=10.0),
-        klt=KLTConfig(window=15, max_level=5, num_iters=20, eps=0.01),
+        # mid_iters=4: required at this geometry (see KLTConfig.mid_iters).
+        klt=KLTConfig(window=15, max_level=5, num_iters=20, eps=0.01,
+                      mid_iters=4),
         pnp=PnPConfig(iterations=500, reproj_err_px=5.0),
         image_shape=(600, 800),
     )
@@ -294,8 +303,14 @@ def tune_for_tpu(cfg: PipelineConfig) -> PipelineConfig:
 
 
 def kitti_tuned_config() -> PipelineConfig:
-    """KITTI preset at the benched TPU operating point (see tune_for_tpu)."""
-    return tune_for_tpu(kitti_config())
+    """KITTI preset at the benched TPU operating point (see tune_for_tpu).
+
+    mid_iters=0 is part of the swept point (pure latency on THIS geometry;
+    see KLTConfig.mid_iters) and is pinned here rather than in
+    tune_for_tpu because it does not transfer to other image shapes.
+    """
+    cfg = tune_for_tpu(kitti_config())
+    return cfg.replace(klt=dataclasses.replace(cfg.klt, mid_iters=0))
 
 
 PRESETS = {

@@ -25,7 +25,9 @@ sys.path.insert(0, ".")
 
 PRESETS = {
     # (image_shape, preset_fn_name, ref reproj_err, bootstrap stride)
-    "kitti": ((376, 1241), "kitti_config", 8.0, 4),
+    # kitti_tuned_config, not tune_for_tpu(kitti_config()): the tuned
+    # preset pins mid_iters=0 (geometry-specific, see KLTConfig.mid_iters).
+    "kitti": ((376, 1241), "kitti_tuned_config", 8.0, 4),
     "malaga": ((600, 800), "malaga_config", 5.0, 4),
     "parking": ((480, 640), "parking_config", 5.0, 4),
 }
@@ -116,12 +118,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=95)
     ap.add_argument("--datasets", default="kitti,malaga,parking")
+    ap.add_argument("--out", default="BENCH_datasets.json")
     args = ap.parse_args()
     out = []
     for name in args.datasets.split(","):
         res = bench_one(name.strip(), args.frames)
         print(json.dumps(res), flush=True)
         out.append(res)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
     ok = all(r["healthy"] for r in out)
     sys.exit(0 if ok else 2)
 
